@@ -1,0 +1,144 @@
+"""Command-line interface.
+
+Contract-compatible with the reference CLI (FCCF.cpp:1646-1690, C20 /
+README.md:15-18):
+
+    python -m fccf_pcr_tpu SRC.ply TAR.ply VOXEL_SIZE
+
+prints "Leaf size : <v>" and the 4x4 transformation matrix mapping SRC
+into TAR's frame (the reference's argument swap at FCCF.cpp:1683 is folded
+into the pipeline's direction convention — see pipeline/register.py).
+
+Extras beyond the reference (structured observability, SURVEY.md §5):
+    --json          emit a machine-readable record (T, scores, counts,
+                    status flags, stage timings)
+    --batch A B C…  register consecutive pairs of a scan list, vmapped
+    --caps tiny|default|large   capacity preset
+    --device cpu|tpu            backend override
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _caps_preset(name):
+    from .config import Capacities, TEST_CAPS
+
+    if name == "tiny":
+        return TEST_CAPS
+    if name == "large":
+        return Capacities(
+            max_points=1 << 19,
+            max_voxels=8192,
+            max_matches=4096,
+            max_hypotheses=16384,
+            max_residual=1 << 17,
+            max_fine_voxels=1 << 16,
+        )
+    return Capacities()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="fccf",
+        description="TPU-native FCCF-PCR point cloud registration",
+    )
+    ap.add_argument("source", help="source PLY file")
+    ap.add_argument("target", nargs="?", help="target PLY file")
+    ap.add_argument("voxel", nargs="?", type=float, default=0.1,
+                    help="voxel-grid leaf size in meters (default 0.1)")
+    ap.add_argument("--json", action="store_true", help="machine-readable output")
+    ap.add_argument("--caps", default="default", choices=["tiny", "default", "large"])
+    ap.add_argument("--device", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--batch", nargs="+", default=None, metavar="PLY",
+                    help="register consecutive pairs of this scan list")
+    args = ap.parse_args(argv)
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import FCCFParams, make_register_fn, __version__
+    from .io import ply
+    from .io.synthetic import pad_points
+    from .ops.voxelize import voxel_grid_downsample
+
+    params = FCCFParams(leaf_size=args.voxel)
+    caps = _caps_preset(args.caps)
+
+    if not args.json:
+        print(f"Leaf size : {args.voxel:g}")
+
+    scans = args.batch if args.batch else [args.source, args.target]
+    if len(scans) < 2:
+        ap.error("need a source and a target scan")
+
+    t_load0 = time.time()
+    clouds = [ply.read_ply(p) for p in scans]
+    t_load = time.time() - t_load0
+
+    # First (CLI-level) downsample, mirroring main() (:1668-1678); the
+    # pipeline performs the second, internal downsample itself.
+    pre = jax.jit(
+        lambda p, m: voxel_grid_downsample(p, m, params.leaf_size)
+    )
+    padded = []
+    for c in clouds:
+        p, m = pad_points(c, caps.max_points)
+        pd, md = pre(jnp.asarray(p), jnp.asarray(m))
+        padded.append((pd, md))
+
+    fn = make_register_fn(params, caps, batched=args.batch is not None)
+
+    t0 = time.time()
+    if args.batch:
+        sp = jnp.stack([padded[i][0] for i in range(len(padded) - 1)])
+        sm = jnp.stack([padded[i][1] for i in range(len(padded) - 1)])
+        tp = jnp.stack([padded[i + 1][0] for i in range(len(padded) - 1)])
+        tm = jnp.stack([padded[i + 1][1] for i in range(len(padded) - 1)])
+        res = fn(sp, sm, tp, tm)
+    else:
+        res = fn(padded[0][0], padded[0][1], padded[1][0], padded[1][1])
+    jax.block_until_ready(res)
+    t_reg = time.time() - t0
+
+    T = np.asarray(res.transform)
+    if args.json:
+        rec = {
+            "version": __version__,
+            "scans": scans,
+            "leaf_size": args.voxel,
+            "transform": T.tolist(),
+            "quick_score": np.asarray(res.quick_score).tolist(),
+            "fine_score": np.asarray(res.fine_score).tolist(),
+            "n_faces": np.asarray(res.n_faces).tolist(),
+            "n_hypotheses": np.asarray(res.n_hypotheses).tolist(),
+            "status": np.asarray(res.status).tolist(),
+            "time_load_s": t_load,
+            "time_register_s": t_reg,
+        }
+        print(json.dumps(rec))
+    else:
+        print("Transformation: ")
+        if T.ndim == 2:
+            T = T[None]
+        for k, Tk in enumerate(T):
+            if len(T) > 1:
+                print(f"# pair {k}: {scans[k]} -> {scans[k + 1]}")
+            for row in Tk:
+                print(" ".join(f"{v: .6f}" for v in row))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

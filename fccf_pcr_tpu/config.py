@@ -1,0 +1,121 @@
+"""Parameter and capacity configuration for the FCCF-PCR TPU pipeline.
+
+Mirrors the reference's file-scope global parameter set
+(``/root/reference/FCCF.cpp:120-176``) as a frozen, hashable dataclass so a
+whole parameter set can be closed over statically by ``jax.jit``.
+
+Capacities are the TPU-native addition: every pipeline stage operates on
+fixed-shape, masked tensors (max points N, max voxels V, max faces F, ...);
+these bounds are chosen per-dataset and are static under ``jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class FCCFParams:
+    """Algorithm parameters. Defaults are bit-identical to the reference.
+
+    Field-by-field provenance (reference ``FCCF.cpp`` line numbers):
+      l1/l2/k1/k2            :126-129   plane-fusion coplanarity params
+      normal_thresh1/2       :131-132   normal-angle gates (deg) for growth/merge
+      face_voxel_size        :134       feature octree resolution (m)
+      voxel_point_threshold  :136       per-voxel min point count (strictly >)
+      curvature_threshold    :138       plane-fit curvature gate
+      select_plane_number    :141       top-K faces kept (loop keeps K+1, see :655-675)
+      qv_angle / qv_dist     :145-146   quick-verify coplanarity gates
+      required_optimize      :147       min pairs to trigger refinement
+      fine_voxel             :150       fine-verify octree resolution (m)
+      fine_verify_number     :151       candidates fine-verified per type
+      angle_same             :156       base included-angle match gate (deg)
+      angle_min / angle_max  :157-158   base included-angle window (deg)
+      third_plane_threshold  :160       |(n1xm1).n3| spanning gate
+      third_normal_threshold :162       third-plane normal-angle gate (deg)
+      cluster_count_threshold:166       <=10 hypotheses -> pass-through
+      cluster_angle          :167       rotation cluster gate (deg)
+      cluster_dist           :168       translation cluster radius (m)
+      select_cluster_number  :171       cluster budget scale (200)
+      rough_threshold        :175       smooth/rough face classification
+      leaf_size              :176,1650  voxel-grid downsample leaf (CLI arg)
+    """
+
+    l1: float = 0.5
+    l2: float = 1.0
+    k1: float = 5.0
+    k2: float = 2.0
+    normal_thresh1: float = 5.0
+    normal_thresh2: float = 8.0
+    face_voxel_size: float = 1.0
+    voxel_point_threshold: int = 5
+    curvature_threshold: float = 0.05
+    select_plane_number: int = 15
+    qv_angle: float = 10.0
+    qv_dist: float = 2.0
+    required_optimize: int = 4
+    fine_voxel: float = 0.5
+    fine_verify_number: int = 4
+    angle_same: float = 5.0
+    angle_min: float = 30.0
+    angle_max: float = 150.0
+    third_plane_threshold: float = 0.5
+    third_normal_threshold: float = 5.0
+    cluster_count_threshold: int = 10
+    cluster_angle: float = 2.0
+    cluster_dist: float = 0.8
+    select_cluster_number: int = 200
+    rough_threshold: float = 2.0
+    leaf_size: float = 0.1
+    # --- TPU-native knobs (no reference counterpart) ---
+    # Gauss-Newton/LM iterations replacing Ceres DENSE_QR max 50 (:227).
+    refine_iters: int = 50
+    # Label-propagation sweeps cap for face growth (converges much earlier).
+    label_prop_iters: int = 32
+    # Type-gate in the final fusion (:1601).
+    fuse_gate: float = 0.8
+
+    def replace(self, **kw) -> "FCCFParams":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class Capacities:
+    """Static shape bounds for the masked tensor pipeline.
+
+    The reference uses dynamic ``std::vector`` everywhere; on TPU every
+    stage is a fixed-shape program. Overflow degrades gracefully: smallest /
+    latest entries are dropped and a status flag is raised.
+    """
+
+    max_points: int = 1 << 18     # points per cloud after downsample
+    max_voxels: int = 4096        # occupied 1m feature voxels per cloud
+    max_faces: int = 16           # top-15(+1) faces kept (:655-675)
+    max_matches: int = 2048       # compatible (base1, base2) pairs
+    max_hypotheses: int = 8192    # closed-form transform hypotheses (all types)
+    max_reps: int = 256           # cluster representatives per type (<=201 used)
+    max_clusters: int = 2048      # sorted seed clusters walked during emission
+    max_residual: int = 1 << 16   # residual (non-planar) points kept per cloud
+    max_fine_voxels: int = 1 << 15  # occupied 0.5m voxels in fine verify
+
+    @property
+    def max_bases(self) -> int:
+        f = self.max_faces
+        return f * (f - 1) // 2
+
+    def replace(self, **kw) -> "Capacities":
+        return dataclasses.replace(self, **kw)
+
+
+# Small capacities for CPU tests: keep compile times low.
+TEST_CAPS = Capacities(
+    max_points=8192,
+    max_voxels=1024,
+    max_faces=16,
+    max_matches=1024,
+    max_hypotheses=2048,
+    max_reps=64,
+    max_clusters=256,
+    max_residual=2048,
+    max_fine_voxels=2048,
+)

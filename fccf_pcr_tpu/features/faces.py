@@ -1,0 +1,207 @@
+"""Planar-face extraction: voxel plane fits + parallel region growing.
+
+TPU-native redesign of ``face_extrate`` (FCCF.cpp:470-678, component C10):
+
+  reference (sequential, order-dependent)      this module (parallel, masked)
+  -----------------------------------------    -------------------------------
+  octree voxel loop + computePointNormal       hash/segment voxel_stats +
+    (FCCF.cpp:481-534)                           batched 3x3 eigendecomp
+  greedy voxel->face growth w/ running         voxel-voxel affinity matrix +
+    averages (FCCF.cpp:536-593)                  min-label propagation
+  face<->face merge to fixpoint                face-face affinity + second
+    (FCCF.cpp:595-648)                           label propagation
+  selection sort + top-15(+1) + roughness      masked lexsort + segment means
+    (FCCF.cpp:650-677)
+
+Semantics note (SURVEY.md hard part #1): the reference's growth tests each
+candidate voxel against the *running average* of the growing face, so its
+result depends on iteration order. Label propagation instead computes
+connected components of the symmetric voxel-voxel affinity built from the
+same predicates (compare_normal / compare_plane on per-voxel stats). Face
+*statistics* for a given membership are identical (the reference recomputes
+full weighted sums after every insertion, FCCF.cpp:570-586); only membership
+can differ on borderline scenes. Parity is defined at the output-transform
+level (RTE/RRE), not the face-set level.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Capacities, FCCFParams
+from ..ops import eigen3, geometry
+from ..ops.voxelize import voxel_stats
+
+_BIG = jnp.int32(2**30)
+
+
+class Faces(NamedTuple):
+    """Fixed-capacity (F=16) planar faces, masked. Mirrors ``facenode``
+    (FCCF.cpp:47-58): centroid/normal are point-count-weighted averages of
+    member voxel stats; ``normal`` is intentionally NOT renormalized (the
+    reference never renormalizes it, and downstream math consumes the raw
+    averaged vector)."""
+
+    centroid: jax.Array     # (F, 3)
+    normal: jax.Array       # (F, 3) weighted-average normal (non-unit)
+    point_size: jax.Array   # (F,) float  sum of member voxel point counts
+    voxel_count: jax.Array  # (F,) int32  member voxels (sort key, :417)
+    theta: jax.Array        # (F,) roughness = mean |angle(face n, voxel n)|
+    valid: jax.Array        # (F,) bool
+
+
+def _pairwise_affinity(normal, centroid, valid, angle_thresh_deg, l, k):
+    """(V, V) boolean affinity from compare_normal & compare_plane.
+
+    Built with (V,3)x(3,V) matmuls so no (V,V,3) intermediate materializes.
+    """
+    nh = geometry.normalize(normal)
+    cos_gate = jnp.cos(jnp.deg2rad(angle_thresh_deg)).astype(normal.dtype)
+    cosmat = nh @ nh.T
+    ok_normal = cosmat >= cos_gate
+
+    c2 = jnp.sum(centroid * centroid, axis=-1)
+    d2 = c2[:, None] + c2[None, :] - 2.0 * (centroid @ centroid.T)
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    # n_i . (c_i - c_j)  and  n_j . (c_i - c_j). Like the reference's
+    # compare_plane (:391-407), the *raw* (possibly non-unit averaged)
+    # normal is used here; only the direction vector is normalized.
+    ndotc = jnp.sum(normal * centroid, axis=-1)
+    m1 = ndotc[:, None] - normal @ centroid.T
+    m2 = centroid @ normal.T - ndotc[None, :]
+    t = l / (k * dist + 1.0)
+    ok_plane = (jnp.abs(m1) < t * dist) & (jnp.abs(m2) < t * dist)
+    ok_plane = jnp.where(dist > 1e-9, ok_plane, True)
+
+    vv = valid[:, None] & valid[None, :]
+    return vv & ok_normal & ok_plane
+
+
+def _label_propagate(affinity, valid, max_iters):
+    """Connected components by iterative min-label propagation.
+
+    labels[i] converges to the minimum slot index of i's component. The
+    affinity graph includes long-range edges (coplanarity is tested between
+    *all* voxel pairs, not just neighbors — exactly like the reference's
+    O(V^2) loops), so convergence takes only a few sweeps.
+    """
+    V = affinity.shape[0]
+    init = jnp.where(valid, jnp.arange(V, dtype=jnp.int32), _BIG)
+
+    def cond(state):
+        labels, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        neigh = jnp.min(jnp.where(affinity, labels[None, :], _BIG), axis=1)
+        new = jnp.minimum(labels, neigh)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+    return labels
+
+
+def _face_stats(labels, valid, count, centroid, normal, V):
+    """Weighted segment stats per face label (identical math to the
+    reference's full recomputation loops, FCCF.cpp:570-586/:626-642)."""
+    seg = jnp.where(valid, jnp.minimum(labels, V), V)
+    w = jnp.where(valid, count.astype(centroid.dtype), 0.0)
+    psize = jax.ops.segment_sum(w, seg, num_segments=V + 1)[:V]
+    csum = jax.ops.segment_sum(centroid * w[:, None], seg, num_segments=V + 1)[:V]
+    nsum = jax.ops.segment_sum(normal * w[:, None], seg, num_segments=V + 1)[:V]
+    vcount = jax.ops.segment_sum(
+        valid.astype(jnp.int32), seg, num_segments=V + 1
+    )[:V]
+    denom = jnp.maximum(psize, 1e-12)[:, None]
+    return csum / denom, nsum / denom, psize, vcount
+
+
+def extract_faces(points, mask, params: FCCFParams, caps: Capacities):
+    """points (N,3), mask (N,) -> (Faces, residual_mask (N,), overflow).
+
+    ``residual_mask`` marks points belonging to voxels that passed the
+    point-count gate but failed the curvature gate — the reference's
+    ``cloud_sub`` (FCCF.cpp:527-530), consumed by fine verification.
+    """
+    V = caps.max_voxels
+    F = caps.max_faces
+
+    total = jnp.sum(mask.astype(points.dtype))
+    global_centroid = jnp.sum(
+        jnp.where(mask[:, None], points, 0.0), axis=0
+    ) / jnp.maximum(total, 1.0)
+
+    vs, point_voxel = voxel_stats(points, mask, params.face_voxel_size, V)
+    normal, curvature = eigen3.plane_fit_from_cov(vs.cov)
+
+    enough = vs.count > params.voxel_point_threshold  # strictly > (:486)
+    planar = curvature < params.curvature_threshold   # (:497)
+    vvalid = vs.valid & enough & planar
+
+    # Orient each normal so it points toward the global centroid (:504-516).
+    to_c = vs.centroid - global_centroid[None, :]
+    flip = jnp.sum(to_c * normal, axis=-1) < 0.0
+    normal = jnp.where(flip[:, None], normal, -normal)
+
+    # Residual (non-planar) cloud mask for fine verify (:527-530). Points in
+    # under-populated voxels are dropped entirely, matching the reference.
+    pv = jnp.minimum(point_voxel, V - 1)
+    residual_mask = (
+        mask
+        & (point_voxel < V)
+        & enough[pv]
+        & ~planar[pv]
+        & vs.valid[pv]
+    )
+
+    # Pass 1: voxel -> face growth (compare_normal 5deg, l1/k1) (:536-593).
+    aff1 = _pairwise_affinity(
+        normal, vs.centroid, vvalid, params.normal_thresh1, params.l1, params.k1
+    )
+    labels1 = _label_propagate(aff1, vvalid, params.label_prop_iters)
+
+    c1, n1, p1, vc1 = _face_stats(
+        labels1, vvalid, vs.count, vs.centroid, normal, V
+    )
+    rep1 = vvalid & (labels1 == jnp.arange(V))
+
+    # Pass 2: face <-> face merge to fixpoint (compare_normal 8deg, l2/k2)
+    # (:595-648). Same propagation primitive over face-representative slots.
+    aff2 = _pairwise_affinity(n1, c1, rep1, params.normal_thresh2, params.l2, params.k2)
+    labels2 = _label_propagate(aff2, rep1, params.label_prop_iters)
+
+    final_label = jnp.where(vvalid, labels2[jnp.minimum(labels1, V - 1)], _BIG)
+    cF, nF, pF, vcF = _face_stats(
+        final_label, vvalid, vs.count, vs.centroid, normal, V
+    )
+    repF = vvalid & (final_label == jnp.arange(V))
+
+    # Per-voxel angle to its face's average normal -> per-face roughness
+    # theta (:660-667).
+    fl = jnp.minimum(final_label, V - 1)
+    ang = geometry.angle_deg(nF[fl], normal)
+    seg = jnp.where(vvalid, fl, V)
+    asum = jax.ops.segment_sum(
+        jnp.where(vvalid, jnp.abs(ang), 0.0), seg, num_segments=V + 1
+    )[:V]
+    theta = asum / jnp.maximum(vcF.astype(points.dtype), 1.0)
+
+    # Top-16 faces by member-voxel count, desc; ties by slot index asc
+    # (range_face :409-427 swaps only on strict <, i.e. stable).
+    sort_key = jnp.where(repF, vcF, -1)
+    order = jnp.lexsort((jnp.arange(V), -sort_key))[:F]
+    fvalid = sort_key[order] > 0
+
+    faces = Faces(
+        centroid=jnp.where(fvalid[:, None], cF[order], 0.0),
+        normal=jnp.where(fvalid[:, None], nF[order], 0.0),
+        point_size=jnp.where(fvalid, pF[order], 0.0),
+        voxel_count=jnp.where(fvalid, vcF[order], 0),
+        theta=jnp.where(fvalid, theta[order], 0.0),
+        valid=fvalid,
+    )
+    return faces, residual_mask, vs.overflow

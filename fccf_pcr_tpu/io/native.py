@@ -1,0 +1,65 @@
+"""ctypes bindings for the native C++ runtime (csrc/).
+
+Loads ``libfccf_io.so`` (built by ``make -C csrc``) and exposes the fast
+PLY reader. All entry points degrade gracefully to ``None`` when the
+library isn't built, letting pure-Python fallbacks take over.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path():
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(here, "csrc", "build", "libfccf_io.so")
+
+
+def load_library():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.fccf_ply_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fccf_ply_read.restype = ctypes.c_int
+        lib.fccf_ply_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib.fccf_ply_free.restype = None
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def native_read_ply(path: str):
+    """Read a PLY with the native parser. Returns (N,3) float32 or None if
+    the library is unavailable or the file needs the Python fallback."""
+    lib = load_library()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    rc = lib.fccf_ply_read(path.encode(), ctypes.byref(out), ctypes.byref(n))
+    if rc == 1:
+        raise FileNotFoundError(path)
+    if rc != 0:
+        return None  # unsupported layout -> python fallback
+    try:
+        buf = np.ctypeslib.as_array(out, shape=(n.value, 3))
+        return np.array(buf, dtype=np.float32)  # owning copy
+    finally:
+        lib.fccf_ply_free(out)

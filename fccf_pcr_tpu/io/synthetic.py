@@ -1,0 +1,119 @@
+"""Synthetic structured-scene generation for tests and benchmarks.
+
+The reference is evaluated on ETH laser scans (indoor/structured scenes
+dominated by large planes — walls, floors, ceilings). No dataset ships with
+this repo, so tests and benchmarks use synthetic scenes with the same
+statistics: a handful of large planes at varied orientations, plus
+non-planar clutter, sampled as two overlapping "scans" related by a known
+ground-truth SE(3). Property tests then assert RTE/RRE ~ 0 (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_plane(rng, center, normal, extent, n_points, noise=0.005):
+    """Sample n_points from a finite plane patch with Gaussian noise."""
+    normal = np.asarray(normal, np.float64)
+    normal = normal / np.linalg.norm(normal)
+    # Build an orthonormal basis in the plane.
+    a = np.array([1.0, 0.0, 0.0])
+    if abs(normal @ a) > 0.9:
+        a = np.array([0.0, 1.0, 0.0])
+    u = np.cross(normal, a)
+    u /= np.linalg.norm(u)
+    v = np.cross(normal, u)
+    uv = rng.uniform(-0.5, 0.5, (n_points, 2)) * np.asarray(extent)
+    pts = center + uv[:, :1] * u + uv[:, 1:2] * v
+    pts += rng.normal(0.0, noise, (n_points, 1)) * normal
+    return pts
+
+
+def make_room_scene(seed=0, points_per_plane=4000, clutter_points=2000,
+                    room=(14.0, 10.0, 4.0), noise=0.005):
+    """A room-like scene: floor, ceiling, 4 walls, 2 interior partitions,
+    plus ellipsoidal clutter (exercises the curvature gate / residual
+    cloud). Returns (points (M,3) float32)."""
+    rng = np.random.default_rng(seed)
+    L, W, Hh = room
+    planes = [
+        # floor / ceiling
+        ((L / 2, W / 2, 0.0), (0, 0, 1), (L, W)),
+        ((L / 2, W / 2, Hh), (0, 0, 1), (L, W)),
+        # outer walls
+        ((0.0, W / 2, Hh / 2), (1, 0, 0), (W, Hh)),
+        ((L, W / 2, Hh / 2), (1, 0, 0), (W, Hh)),
+        ((L / 2, 0.0, Hh / 2), (0, 1, 0), (L, Hh)),
+        ((L / 2, W, Hh / 2), (0, 1, 0), (L, Hh)),
+        # interior partitions at odd angles (breaks symmetry)
+        ((L / 3, W / 2, Hh / 2), (0.8, 0.6, 0), (W * 0.7, Hh)),
+        ((2 * L / 3, W / 3, Hh / 2), (0.45, -0.89, 0), (W * 0.6, Hh)),
+    ]
+    parts = [
+        make_plane(rng, np.asarray(c, np.float64), n, e, points_per_plane, noise)
+        for c, n, e in planes
+    ]
+    # Clutter: noisy blobs (high curvature -> residual cloud).
+    for _ in range(6):
+        center = rng.uniform([1, 1, 0.3], [L - 1, W - 1, Hh - 0.5])
+        blob = center + rng.normal(0.0, 0.35, (clutter_points // 6, 3))
+        parts.append(blob)
+    pts = np.concatenate(parts, axis=0)
+    return pts.astype(np.float32)
+
+
+def random_se3(rng, max_angle_deg=40.0, max_trans=3.0):
+    """Random rigid transform with bounded rotation/translation."""
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    ang = np.deg2rad(rng.uniform(5.0, max_angle_deg))
+    K = np.array(
+        [
+            [0, -axis[2], axis[1]],
+            [axis[2], 0, -axis[0]],
+            [-axis[1], axis[0], 0],
+        ]
+    )
+    R = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+    t = rng.uniform(-max_trans, max_trans, 3)
+    T = np.eye(4, dtype=np.float64)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T.astype(np.float32)
+
+
+def make_pair(seed=0, max_angle_deg=40.0, max_trans=3.0, dropout=0.15, **scene_kw):
+    """Build (src_points, tar_points, T_gt) with T_gt mapping src -> tar.
+
+    The target cloud is the scene itself; the source cloud is the scene
+    viewed in a different frame (apply inverse of T_gt) with partial
+    dropout + independent noise realization, emulating two scans of the
+    same scene from different poses.
+    """
+    rng = np.random.default_rng(seed + 99991)
+    tar = make_room_scene(seed=seed, **scene_kw)
+    src_world = make_room_scene(seed=seed + 1, **scene_kw)
+    keep = rng.uniform(size=src_world.shape[0]) > dropout
+    src_world = src_world[keep]
+    T_gt = random_se3(rng, max_angle_deg, max_trans)
+    # src = T_gt^{-1} applied to world coords; then T_gt maps src -> tar.
+    R = T_gt[:3, :3]
+    t = T_gt[:3, 3]
+    src = (src_world - t) @ R  # R^T (x - t)
+    return src.astype(np.float32), tar.astype(np.float32), T_gt
+
+
+def pad_points(pts, capacity):
+    """Pad (M,3) points to (capacity,3) + mask. Overflow is subsampled
+    deterministically (every k-th point)."""
+    m = pts.shape[0]
+    if m > capacity:
+        idx = np.linspace(0, m - 1, capacity).astype(np.int64)
+        pts = pts[idx]
+        m = capacity
+    out = np.zeros((capacity, 3), np.float32)
+    out[:m] = pts
+    mask = np.zeros((capacity,), bool)
+    mask[:m] = True
+    return out, mask

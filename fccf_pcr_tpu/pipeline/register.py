@@ -1,0 +1,171 @@
+"""End-to-end scan-pair registration — the pipeline driver.
+
+Rebuild of ``computer_transform_guess`` (FCCF.cpp:1370-1608, C18) as a single
+jit-compilable function of fixed-shape masked tensors, plus batched/vmapped
+entry points.
+
+Direction convention: ``register_pair(src, tar)`` returns T mapping the
+SOURCE cloud into the TARGET frame. Internally the *target* cloud plays the
+reference's ``face_vecter1`` role and the source plays ``face_vecter2`` —
+this mirrors the reference's argument swap at the call site
+(``computer_transform_guess(cloud_tar, cloud_src, T)``, FCCF.cpp:1683),
+which is what makes its printed matrix map argv[1] (source) into argv[2]
+(target).
+
+Stage map (all stages live in their own modules):
+  NaN removal + voxel-grid downsample  (:1372-1387)  -> ops.voxelize
+  face extraction x2                   (:1400-1401)  -> features.faces
+  base selection x2                    (:1406-1409)  -> hypotheses.bases
+  base matching + closed-form fan-out  (:1414-1427)  -> hypotheses.transforms
+  per-type clustering                  (:1437-1466)  -> cluster.cluster
+  quick verify + refine per rep        (:1468-1494)  -> verify.quick, refine
+  fine verify top-4 per type           (:1499-1544)  -> verify.fine
+  combined score + 0.8 gate + fusion   (:1546-1606)  -> fuse.fuse
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cluster.cluster import cluster_hypotheses
+from ..config import Capacities, FCCFParams
+from ..features.faces import extract_faces
+from ..fuse.fuse import fuse_transforms
+from ..hypotheses.bases import select_bases
+from ..hypotheses.transforms import generate_hypotheses
+from ..ops import geometry
+from ..ops.voxelize import compact, voxel_grid_downsample
+from ..verify.fine import build_source_table, fine_verify
+from ..verify.quick import quick_verify
+
+# Status bit flags (TPU-native replacement for the reference's silent
+# degradation; see SURVEY.md section 5, failure detection row).
+STATUS_OK = 0
+STATUS_VOXEL_OVERFLOW = 1
+STATUS_HYPOTHESIS_OVERFLOW = 2
+STATUS_DEGENERATE = 4  # no type scored > 0: identity returned
+
+
+class RegistrationResult(NamedTuple):
+    transform: jax.Array     # (4, 4) source -> target
+    quick_score: jax.Array   # (3,) best combined quick score per type
+    fine_score: jax.Array    # (3,)
+    n_faces: jax.Array       # (2,) int32 faces in target/source clouds
+    n_hypotheses: jax.Array  # () int32
+    status: jax.Array        # () int32 bit flags
+
+
+def register_pair(
+    src_pts, src_mask, tar_pts, tar_mask, params: FCCFParams, caps: Capacities
+) -> RegistrationResult:
+    """Register one masked pair of clouds. Inputs (N, 3) + (N,) masks.
+
+    Expects clouds already voxel-grid downsampled once by the caller (the
+    reference downsamples in main AND again inside the pipeline,
+    FCCF.cpp:1668-1678 + :1377-1387 — this function performs the second,
+    internal downsample).
+    """
+    f32 = src_pts.dtype
+
+    # NaN removal (:1372-1375) + internal downsample (:1377-1387).
+    src_mask = src_mask & jnp.all(jnp.isfinite(src_pts), axis=-1)
+    tar_mask = tar_mask & jnp.all(jnp.isfinite(tar_pts), axis=-1)
+    src_pts = jnp.where(src_mask[:, None], src_pts, 0.0)
+    tar_pts = jnp.where(tar_mask[:, None], tar_pts, 0.0)
+    tar_d, tar_dm = voxel_grid_downsample(tar_pts, tar_mask, params.leaf_size)
+    src_d, src_dm = voxel_grid_downsample(src_pts, src_mask, params.leaf_size)
+
+    # Faces: f1 = target cloud (reference's face_vecter1), f2 = source.
+    f1, res1_mask, ovf1 = extract_faces(tar_d, tar_dm, params, caps)
+    f2, res2_mask, ovf2 = extract_faces(src_d, src_dm, params, caps)
+
+    b1 = select_bases(f1, params)
+    b2 = select_bases(f2, params)
+    hyp = generate_hypotheses(f1, f2, b1, b2, params, caps)
+    reps = cluster_hypotheses(hyp, params, caps)
+
+    # Quick verify + refine every representative (3 types x C reps).
+    rep_T = geometry.make_transform(geometry.quat_to_matrix(reps.quat), reps.t)
+    qv = jax.vmap(jax.vmap(lambda T: quick_verify(T, f1, f2, params)))
+    T_ref, qscore, _ = qv(rep_T)
+    qscore = jnp.where(reps.valid, qscore, -jnp.inf)
+
+    # Per-type sort by quick score desc (score_range :1233-1251, stable) and
+    # select the top fine_verify_number for fine verification (:1499-1544).
+    K = params.fine_verify_number
+    C = caps.max_reps
+    order = jnp.argsort(-qscore, axis=1, stable=True)  # desc, ties keep order
+    top_idx = order[:, :K]                                # (3, K)
+    top_valid = jnp.take_along_axis(reps.valid, top_idx, axis=1)
+    top_T = jnp.take_along_axis(T_ref, top_idx[..., None, None], axis=1)
+    top_q = jnp.take_along_axis(qscore, top_idx, axis=1)
+    top_q = jnp.where(top_valid, top_q, 0.0)
+
+    # Fine verify: residual clouds (cloud_sub1 = target residual, label 0;
+    # cloud_sub2 = source residual, label 1, transformed per candidate).
+    _, _, r1_valid, r1_pts = compact(res1_mask, caps.max_residual, tar_d)
+    _, _, r2_valid, r2_pts = compact(res2_mask, caps.max_residual, src_d)
+    table = build_source_table(r1_pts, r1_valid, params, caps)
+    fv = jax.vmap(
+        jax.vmap(lambda T: fine_verify(T, table, r2_pts, r2_valid, params, caps))
+    )
+    fscore = jnp.where(top_valid, fv(top_T), 0.0)
+
+    # Global score normalization across ALL fine-verified candidates of all
+    # types (:1539-1540 accumulate across the type loop), then per-type best
+    # by combined score (:1553-1567).
+    s1_sum = jnp.sum(top_q)
+    s2_sum = jnp.sum(fscore)
+    combined = jnp.where(s1_sum > 0, top_q / jnp.maximum(s1_sum, 1e-20), 0.0)
+    combined = combined + jnp.where(
+        s2_sum > 0, fscore / jnp.maximum(s2_sum, 1e-20), 0.0
+    )
+    combined = jnp.where(top_valid, combined, 0.0)
+
+    best_in_type = jnp.argmax(combined, axis=1)            # first max (:1559 >)
+    best_score = jnp.take_along_axis(combined, best_in_type[:, None], axis=1)[:, 0]
+    best_T = jnp.take_along_axis(
+        top_T, best_in_type[:, None, None, None], axis=1
+    )[:, 0]
+    best_best = jnp.max(best_score)
+
+    # 0.8 gate (:1600-1605) + weighted fusion (:1606).
+    keep = best_score > params.fuse_gate * best_best
+    quats = geometry.matrix_to_quat(best_T[:, :3, :3])
+    T = fuse_transforms(quats, best_T[:, :3, 3], best_score, keep)
+
+    degenerate = best_best <= 0.0
+    T = jnp.where(degenerate, jnp.eye(4, dtype=f32), T)
+
+    status = (
+        jnp.where(ovf1 | ovf2, STATUS_VOXEL_OVERFLOW, 0)
+        | jnp.where(hyp.overflow, STATUS_HYPOTHESIS_OVERFLOW, 0)
+        | jnp.where(degenerate, STATUS_DEGENERATE, 0)
+    ).astype(jnp.int32)
+
+    return RegistrationResult(
+        transform=T,
+        quick_score=jnp.max(top_q, axis=1),
+        fine_score=jnp.max(fscore, axis=1),
+        n_faces=jnp.stack(
+            [jnp.sum(f1.valid), jnp.sum(f2.valid)]
+        ).astype(jnp.int32),
+        n_hypotheses=hyp.count,
+        status=status,
+    )
+
+
+def make_register_fn(params: FCCFParams, caps: Capacities, batched: bool = False):
+    """Build a jitted registration function with static params/capacities.
+
+    batched=False: (src (N,3), src_mask, tar (N,3), tar_mask) -> result
+    batched=True:  adds a leading pair axis on every argument (vmap).
+    """
+    fn = functools.partial(register_pair, params=params, caps=caps)
+    if batched:
+        fn = jax.vmap(fn)
+    return jax.jit(fn)

@@ -1,0 +1,53 @@
+"""Test configuration: force an 8-virtual-device CPU backend.
+
+Must run before any jax import (SURVEY.md §4: CPU-backend jax makes the
+whole suite runnable without a TPU; sharding tests use the virtual mesh).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# The container's sitecustomize registers a remote-TPU ("axon") PJRT plugin
+# and force-selects jax_platforms="axon,cpu" at interpreter start; tests must
+# run on the local CPU backend (8 virtual devices) regardless.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# Persistent compilation cache: the heavy pipeline compiles once per
+# (params, caps) config and is reused across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-fccf-tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from fccf_pcr_tpu.config import TEST_CAPS, FCCFParams  # noqa: E402
+from fccf_pcr_tpu.io import synthetic  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def params():
+    # leaf 0.25 m on the synthetic room keeps point counts inside TEST_CAPS.
+    return FCCFParams(leaf_size=0.25)
+
+
+@pytest.fixture(scope="session")
+def caps():
+    return TEST_CAPS
+
+
+@pytest.fixture(scope="session")
+def small_pair(caps):
+    src, tar, T_gt = synthetic.make_pair(
+        seed=3, points_per_plane=1500, clutter_points=900
+    )
+    src_p, src_m = synthetic.pad_points(src, caps.max_points)
+    tar_p, tar_m = synthetic.pad_points(tar, caps.max_points)
+    return src_p, src_m, tar_p, tar_m, np.asarray(T_gt)

@@ -1,0 +1,108 @@
+"""PLY I/O: python/native parity, format coverage, CLI smoke."""
+
+import os
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fccf_pcr_tpu.io import ply
+from fccf_pcr_tpu.io.native import load_library
+
+
+def test_binary_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(5000, 3)).astype(np.float32)
+    p = tmp_path / "b.ply"
+    ply.write_ply(str(p), pts, binary=True)
+    got_py = ply.read_ply(str(p), use_native=False)
+    np.testing.assert_array_equal(got_py, pts)
+    if load_library() is not None:
+        got_nat = ply.read_ply(str(p), use_native=True)
+        np.testing.assert_array_equal(got_nat, pts)
+
+
+def test_ascii_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(200, 3)).astype(np.float32)
+    p = tmp_path / "a.ply"
+    ply.write_ply(str(p), pts, binary=False)
+    got = ply.read_ply(str(p), use_native=False)
+    np.testing.assert_allclose(got, pts, atol=1e-4)
+    if load_library() is not None:
+        got_nat = ply.read_ply(str(p), use_native=True)
+        np.testing.assert_allclose(got_nat, pts, atol=1e-4)
+
+
+def test_mixed_properties(tmp_path):
+    """Vertices with double coords + extra scalar properties, like many
+    real scanner exports."""
+    p = tmp_path / "c.ply"
+    n = 64
+    with open(p, "wb") as f:
+        f.write(
+            b"ply\nformat binary_little_endian 1.0\n"
+            b"comment scanner export\n"
+            b"element vertex 64\n"
+            b"property float intensity\n"
+            b"property double x\nproperty double y\nproperty double z\n"
+            b"property uchar red\n"
+            b"end_header\n"
+        )
+        for i in range(n):
+            f.write(struct.pack("<fdddB", 0.5, i * 0.1, i * 0.2, i * 0.3, 7))
+    want = np.stack(
+        [np.arange(n) * 0.1, np.arange(n) * 0.2, np.arange(n) * 0.3], axis=-1
+    ).astype(np.float32)
+    np.testing.assert_allclose(ply.read_ply(str(p), use_native=False), want, atol=1e-5)
+    if load_library() is not None:
+        np.testing.assert_allclose(ply.read_ply(str(p)), want, atol=1e-5)
+
+
+def test_not_a_ply(tmp_path):
+    p = tmp_path / "x.ply"
+    p.write_bytes(b"hello world\n")
+    with pytest.raises(ValueError):
+        ply.read_ply(str(p), use_native=False)
+
+
+@pytest.mark.slow
+def test_cli_smoke(tmp_path):
+    """Drive the CLI end-to-end on a tiny synthetic pair (CPU)."""
+    from fccf_pcr_tpu.io import synthetic
+
+    src, tar, _ = synthetic.make_pair(
+        seed=1, points_per_plane=400, clutter_points=200, room=(7.0, 5.0, 3.0)
+    )
+    ply.write_ply(str(tmp_path / "src.ply"), src)
+    ply.write_ply(str(tmp_path / "tar.ply"), tar)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "fccf_pcr_tpu",
+            str(tmp_path / "src.ply"),
+            str(tmp_path / "tar.ply"),
+            "0.25",
+            "--caps",
+            "tiny",
+            "--device",
+            "cpu",
+            "--json",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json
+
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    T = np.asarray(rec["transform"])
+    assert T.shape == (4, 4)
+    assert np.isfinite(T).all()

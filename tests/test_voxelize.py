@@ -1,0 +1,70 @@
+"""Voxel hashing / downsampling / compaction vs NumPy goldens."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fccf_pcr_tpu.ops.voxelize import compact, voxel_grid_downsample, voxel_stats
+
+
+def _np_downsample(pts, res):
+    keys = np.floor(pts / res).astype(np.int64)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    out = np.zeros((len(uniq), 3))
+    cnt = np.zeros(len(uniq))
+    np.add.at(out, inv, pts)
+    np.add.at(cnt, inv, 1)
+    return out / cnt[:, None]
+
+
+def test_downsample_matches_numpy():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, (2000, 3)).astype(np.float32)
+    mask = np.ones(2000, bool)
+    mask[1500:] = False  # padding
+    got_p, got_m = voxel_grid_downsample(
+        jnp.asarray(pts), jnp.asarray(mask), 0.5
+    )
+    got = np.asarray(got_p)[np.asarray(got_m)]
+    want = _np_downsample(pts[:1500].astype(np.float64), 0.5)
+    # order-insensitive comparison
+    got_sorted = got[np.lexsort(got.T)]
+    want_sorted = want[np.lexsort(want.T)]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-4)
+
+
+def test_voxel_stats_counts_and_centroids():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 8, (3000, 3)).astype(np.float32)
+    mask = np.ones(3000, bool)
+    stats, point_voxel = voxel_stats(jnp.asarray(pts), jnp.asarray(mask), 1.0, 1024)
+    keys = np.floor(pts / 1.0).astype(np.int64)
+    uniq, inv, cnt = np.unique(keys, axis=0, return_inverse=True, return_counts=True)
+    assert int(stats.valid.sum()) == len(uniq)
+    assert int(stats.count.sum()) == 3000
+    # total centroid mass matches
+    got_c = np.asarray(stats.centroid)[np.asarray(stats.valid)]
+    want_c = np.zeros((len(uniq), 3))
+    np.add.at(want_c, inv, pts)
+    want_c /= cnt[:, None]
+    np.testing.assert_allclose(
+        got_c[np.lexsort(got_c.T)], want_c[np.lexsort(want_c.T)], atol=1e-4
+    )
+    # point_voxel consistency: same cell -> same slot
+    pv = np.asarray(point_voxel)
+    for cell in range(3):
+        sel = inv == cell
+        assert len(np.unique(pv[sel])) == 1
+
+
+def test_compact_order_and_overflow():
+    valid = jnp.asarray(np.array([0, 1, 1, 0, 1, 1, 1], bool))
+    payload = jnp.arange(7, dtype=jnp.int32) * 10
+    count, overflow, out_valid, out = compact(valid, 3, payload)
+    assert int(count) == 3 and bool(overflow)
+    np.testing.assert_array_equal(np.asarray(out), [10, 20, 40])
+    assert np.asarray(out_valid).all()
+    count, overflow, out_valid, out = compact(valid, 8, payload)
+    assert int(count) == 5 and not bool(overflow)
+    np.testing.assert_array_equal(np.asarray(out)[:5], [10, 20, 40, 50, 60])
+    np.testing.assert_array_equal(np.asarray(out_valid), [1, 1, 1, 1, 1, 0, 0, 0])
