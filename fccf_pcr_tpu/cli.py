@@ -58,6 +58,11 @@ def main(argv=None):
     ap.add_argument("--device", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--batch", nargs="+", default=None, metavar="PLY",
                     help="register consecutive pairs of this scan list")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    dest="overrides",
+                    help="override any FCCFParams field (e.g. --set "
+                         "curvature_threshold=0.08 --set fine_verify_number=6); "
+                         "the reference hard-codes these (FCCF.cpp:120-176)")
     args = ap.parse_args(argv)
 
     if args.device == "cpu":
@@ -74,6 +79,12 @@ def main(argv=None):
     from .ops.voxelize import voxel_grid_downsample
 
     params = FCCFParams(leaf_size=args.voxel)
+    for ov in args.overrides:
+        key, _, val = ov.partition("=")
+        if not hasattr(params, key):
+            ap.error(f"unknown parameter '{key}'")
+        field_type = type(getattr(params, key))
+        params = params.replace(**{key: field_type(float(val))})
     caps = _caps_preset(args.caps)
 
     if not args.json:

@@ -107,15 +107,31 @@ def _label_propagate(affinity, valid, max_iters):
 
 def _face_stats(labels, valid, count, centroid, normal, V):
     """Weighted segment stats per face label (identical math to the
-    reference's full recomputation loops, FCCF.cpp:570-586/:626-642)."""
-    seg = jnp.where(valid, jnp.minimum(labels, V), V)
-    w = jnp.where(valid, count.astype(centroid.dtype), 0.0)
-    psize = jax.ops.segment_sum(w, seg, num_segments=V + 1)[:V]
-    csum = jax.ops.segment_sum(centroid * w[:, None], seg, num_segments=V + 1)[:V]
-    nsum = jax.ops.segment_sum(normal * w[:, None], seg, num_segments=V + 1)[:V]
-    vcount = jax.ops.segment_sum(
-        valid.astype(jnp.int32), seg, num_segments=V + 1
-    )[:V]
+    reference's full recomputation loops, FCCF.cpp:570-586/:626-642).
+
+    Labels are arbitrary slot indices (component min-index), so this is an
+    unsorted segment reduction — done as a one-hot matmul on the MXU
+    rather than a scatter (TPU scatters serialize; a (V, V) x (V, 8)
+    one-hot contraction is microseconds at V <= 8192)."""
+    dt = centroid.dtype
+    seg = jnp.where(valid, jnp.minimum(labels, V - 1), V - 1)
+    onehot = (
+        (seg[:, None] == jnp.arange(V)[None, :]) & valid[:, None]
+    ).astype(dt)  # (voxel, face-slot)
+    w = jnp.where(valid, count.astype(dt), 0.0)
+    stats = jnp.concatenate(
+        [
+            centroid * w[:, None],
+            normal * w[:, None],
+            w[:, None],
+            jnp.ones_like(w[:, None]),
+        ],
+        axis=-1,
+    )  # (V, 8)
+    sums = onehot.T @ stats
+    csum, nsum = sums[:, 0:3], sums[:, 3:6]
+    psize = sums[:, 6]
+    vcount = sums[:, 7].astype(jnp.int32)
     denom = jnp.maximum(psize, 1e-12)[:, None]
     return csum / denom, nsum / denom, psize, vcount
 
@@ -181,13 +197,13 @@ def extract_faces(points, mask, params: FCCFParams, caps: Capacities):
     repF = vvalid & (final_label == jnp.arange(V))
 
     # Per-voxel angle to its face's average normal -> per-face roughness
-    # theta (:660-667).
+    # theta (:660-667). One-hot contraction like _face_stats (no scatter).
     fl = jnp.minimum(final_label, V - 1)
-    ang = geometry.angle_deg(nF[fl], normal)
-    seg = jnp.where(vvalid, fl, V)
-    asum = jax.ops.segment_sum(
-        jnp.where(vvalid, jnp.abs(ang), 0.0), seg, num_segments=V + 1
-    )[:V]
+    ang = jnp.where(vvalid, jnp.abs(geometry.angle_deg(nF[fl], normal)), 0.0)
+    onehot = ((fl[:, None] == jnp.arange(V)[None, :]) & vvalid[:, None]).astype(
+        points.dtype
+    )
+    asum = ang @ onehot
     theta = asum / jnp.maximum(vcF.astype(points.dtype), 1.0)
 
     # Top-16 faces by member-voxel count, desc; ties by slot index asc

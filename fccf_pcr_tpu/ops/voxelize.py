@@ -69,6 +69,32 @@ def _sorted_segments(hi, lo, mask):
     return order, seg_id, first
 
 
+def sorted_segment_reduce(values, seg, num_segments):
+    """Sums + counts per segment for a NONDECREASING segment-id vector.
+
+    Scatter-free (TPU scatters serialize): per-segment sums are differences
+    of the running prefix sum at segment boundaries, found with a binary
+    search. XLA's cumsum is a log-depth associative scan, so float error is
+    O(log N) — more than accurate enough for meter-scale geometry.
+
+    values: (N, D); seg: (N,) in [0, num_segments] (num_segments = dropped).
+    Returns (sums (S, D), counts (S,) int32).
+    """
+    ps = jnp.cumsum(values, axis=0)
+    # boundaries[k] = first index with seg >= k  (seg is sorted)
+    bounds = jnp.searchsorted(seg, jnp.arange(num_segments + 1, dtype=seg.dtype))
+    n = values.shape[0]
+    end = jnp.minimum(bounds[1:], n) - 1
+    start = jnp.minimum(bounds[:-1], n) - 1
+    ps_end = jnp.where((end >= 0)[:, None], ps[jnp.maximum(end, 0)], 0.0)
+    ps_start = jnp.where((start >= 0)[:, None], ps[jnp.maximum(start, 0)], 0.0)
+    sums = ps_end - ps_start
+    counts = (jnp.minimum(bounds[1:], n) - jnp.minimum(bounds[:-1], n)).astype(
+        jnp.int32
+    )
+    return sums, counts
+
+
 def voxel_grid_downsample(points, mask, res, out_capacity=None):
     """PCL-VoxelGrid-equivalent: centroid per occupied cell.
 
@@ -81,12 +107,12 @@ def voxel_grid_downsample(points, mask, res, out_capacity=None):
     order, seg_id, _ = _sorted_segments(hi, lo, mask)
     pts_s = points[order]
     mask_s = mask[order]
-    w = mask_s.astype(points.dtype)
-    seg = jnp.where(mask_s, seg_id, cap)  # park invalid in dropped bucket
-    sums = jax.ops.segment_sum(pts_s * w[:, None], seg, num_segments=cap + 1)
-    cnts = jax.ops.segment_sum(w, seg, num_segments=cap + 1)
-    out = sums[:cap] / jnp.maximum(cnts[:cap, None], 1.0)
-    return out, cnts[:cap] > 0
+    seg = jnp.where(mask_s, jnp.minimum(seg_id, cap), cap)
+    sums, cnts = sorted_segment_reduce(
+        pts_s * mask_s[:, None].astype(points.dtype), seg, cap
+    )
+    out = sums / jnp.maximum(cnts[:, None].astype(points.dtype), 1.0)
+    return out, cnts > 0
 
 
 def voxel_stats(points, mask, res, num_voxels):
@@ -107,26 +133,26 @@ def voxel_stats(points, mask, res, num_voxels):
     seg = jnp.where(mask_s & (seg_id < V), seg_id, V)
 
     w = (seg < V).astype(points.dtype)
-    cnt = jax.ops.segment_sum(w, seg, num_segments=V + 1)[:V]
-    psum = jax.ops.segment_sum(pts_s * w[:, None], seg, num_segments=V + 1)[:V]
-    mean = psum / jnp.maximum(cnt[:, None], 1.0)
+    psum, cnt = sorted_segment_reduce(pts_s * w[:, None], seg, V)
+    cntf = cnt.astype(points.dtype)
+    mean = psum / jnp.maximum(cntf[:, None], 1.0)
 
     centered = (pts_s - mean[jnp.minimum(seg, V - 1)]) * w[:, None]
-    outer = centered[:, :, None] * centered[:, None, :]
-    covsum = jax.ops.segment_sum(outer, seg, num_segments=V + 1)[:V]
-    cov = covsum / jnp.maximum(cnt[:, None, None], 1.0)
+    outer = (centered[:, :, None] * centered[:, None, :]).reshape(-1, 9)
+    covsum, _ = sorted_segment_reduce(outer, seg, V)
+    cov = covsum.reshape(V, 3, 3) / jnp.maximum(cntf[:, None, None], 1.0)
 
     nvalid_seg = jnp.max(jnp.where(mask_s, seg_id, -1)) + 1
     overflow = nvalid_seg > V
 
-    # Map voxel slot back to each original point: invert the sort order.
-    point_voxel_sorted = seg
-    point_voxel = jnp.zeros_like(seg).at[order].set(point_voxel_sorted)
+    # Map voxel slot back to each original point: invert the sort
+    # permutation (argsort of a permutation is its inverse; scatter-free).
+    point_voxel = seg[jnp.argsort(order)]
 
     stats = VoxelStats(
         centroid=mean,
         cov=cov,
-        count=cnt.astype(jnp.int32),
+        count=cnt,
         valid=cnt > 0,
         overflow=overflow,
     )
@@ -140,17 +166,24 @@ def compact(valid, capacity, *payloads):
     Returns (count, overflow, out_valid (capacity,), *out_payloads). Entries
     beyond capacity are dropped (overflow flag raised). This is the masked
     equivalent of every ``std::vector::push_back`` loop in the reference.
+
+    Scatter-free: TPU scatters serialize badly, so the k-th output slot
+    *gathers* its source position from a binary search over the running
+    count (cumsum) — O(capacity log N) fully-vectorized loads.
     """
     lead = valid.ndim
     valid = valid.reshape(-1)
-    pos = jnp.cumsum(valid) - 1
-    count = jnp.sum(valid).astype(jnp.int32)
+    ps = jnp.cumsum(valid.astype(jnp.int32))
+    count = ps[-1]
     overflow = count > capacity
-    dest = jnp.where(valid & (pos < capacity), pos, capacity)
-    out_valid = jnp.zeros((capacity + 1,), bool).at[dest].set(valid)[:capacity]
+    # source index of the k-th valid entry: first position with ps == k+1
+    src = jnp.searchsorted(ps, jnp.arange(1, capacity + 1, dtype=jnp.int32))
+    out_valid = jnp.arange(capacity) < count
+    src = jnp.minimum(src, valid.shape[0] - 1)
     outs = []
     for p in payloads:
         p = p.reshape((valid.shape[0],) + p.shape[lead:])
-        buf = jnp.zeros((capacity + 1,) + p.shape[1:], p.dtype)
-        outs.append(buf.at[dest].set(p)[:capacity])
+        g = p[src]
+        mask = out_valid.reshape((capacity,) + (1,) * (g.ndim - 1))
+        outs.append(jnp.where(mask, g, jnp.zeros((), p.dtype)))
     return (jnp.minimum(count, capacity), overflow, out_valid, *outs)

@@ -40,7 +40,7 @@ from ..hypotheses.transforms import generate_hypotheses
 from ..ops import geometry
 from ..ops.voxelize import compact, voxel_grid_downsample
 from ..verify.fine import build_source_table, fine_verify
-from ..verify.quick import quick_verify
+from ..verify.quick import match_faces, refine_transform
 
 # Status bit flags (TPU-native replacement for the reference's silent
 # degradation; see SURVEY.md section 5, failure detection row).
@@ -68,7 +68,22 @@ def register_pair(
     reference downsamples in main AND again inside the pipeline,
     FCCF.cpp:1668-1678 + :1377-1387 — this function performs the second,
     internal downsample).
+
+    All matmuls run at float32 MXU precision: the pipeline's dots are
+    K=3 geometry contractions and boolean-mask reductions (bandwidth-bound,
+    so full precision is ~free), while the default bf16 MXU mode injects
+    ~4e-3 relative noise — enough to flip the cos-threshold predicates
+    (cos 5 deg = 0.9962) and visibly degrade RRE on real TPUs.
     """
+    with jax.default_matmul_precision("highest"):
+        return _register_pair_impl(
+            src_pts, src_mask, tar_pts, tar_mask, params, caps
+        )
+
+
+def _register_pair_impl(
+    src_pts, src_mask, tar_pts, tar_mask, params: FCCFParams, caps: Capacities
+) -> RegistrationResult:
     f32 = src_pts.dtype
 
     # NaN removal (:1372-1375) + internal downsample (:1377-1387).
@@ -88,22 +103,26 @@ def register_pair(
     hyp = generate_hypotheses(f1, f2, b1, b2, params, caps)
     reps = cluster_hypotheses(hyp, params, caps)
 
-    # Quick verify + refine every representative (3 types x C reps).
+    # Quick verify every representative (3 types x C reps). Scores are
+    # refinement-independent (see verify.quick.match_faces), so the LM
+    # refinement is deferred to the top candidates actually consumed.
     rep_T = geometry.make_transform(geometry.quat_to_matrix(reps.quat), reps.t)
-    qv = jax.vmap(jax.vmap(lambda T: quick_verify(T, f1, f2, params)))
-    T_ref, qscore, _ = qv(rep_T)
-    qscore = jnp.where(reps.valid, qscore, -jnp.inf)
+    mv = jax.vmap(jax.vmap(lambda T: match_faces(T, f1, f2, params)[0]))
+    qscore = jnp.where(reps.valid, mv(rep_T), -jnp.inf)
 
     # Per-type sort by quick score desc (score_range :1233-1251, stable) and
     # select the top fine_verify_number for fine verification (:1499-1544).
     K = params.fine_verify_number
-    C = caps.max_reps
     order = jnp.argsort(-qscore, axis=1, stable=True)  # desc, ties keep order
     top_idx = order[:, :K]                                # (3, K)
     top_valid = jnp.take_along_axis(reps.valid, top_idx, axis=1)
-    top_T = jnp.take_along_axis(T_ref, top_idx[..., None, None], axis=1)
+    top_T0 = jnp.take_along_axis(rep_T, top_idx[..., None, None], axis=1)
     top_q = jnp.take_along_axis(qscore, top_idx, axis=1)
     top_q = jnp.where(top_valid, top_q, 0.0)
+
+    # Refine only the (3, K) selected candidates (:772-776 semantics).
+    rv = jax.vmap(jax.vmap(lambda T: refine_transform(T, f1, f2, params)))
+    top_T = rv(top_T0)
 
     # Fine verify: residual clouds (cloud_sub1 = target residual, label 0;
     # cloud_sub2 = source residual, label 1, transformed per candidate).

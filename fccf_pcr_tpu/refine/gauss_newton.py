@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import geometry
+from ..ops.linalg6 import solve_spd6
 
 
 def _exp_quat(v):
@@ -77,7 +78,7 @@ def refine_pairs(n1, p1, n2, p2, w, iters: int = 50):
         JtJ = J.T @ J
         g = J.T @ r
         damped = JtJ + lam * jnp.diag(jnp.diag(JtJ)) + 1e-12 * jnp.eye(6, dtype=p1.dtype)
-        delta = -jnp.linalg.solve(damped, g)
+        delta = -solve_spd6(damped, g)
         q_new = geometry.normalize(geometry.quat_multiply(_exp_quat(delta[:3]), q))
         t_new = t + delta[3:]
         c_old = jnp.sum(r * r)

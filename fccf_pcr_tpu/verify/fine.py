@@ -41,19 +41,21 @@ def _pack_keys(points, mask, res):
 
 
 def _unique_counts(keys, cap):
-    """Sorted unique keys + counts (fixed capacity, sentinel-padded)."""
+    """Sorted unique keys + counts (fixed capacity, sentinel-padded).
+
+    Scatter-free: the k-th unique key and its run length come from binary
+    searches over the sorted key array (run starts = positions where the
+    0-based unique rank equals k)."""
     s = jnp.sort(keys)
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
     first = first & (s != _SENTINEL)
-    seg = jnp.cumsum(first) - 1
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # 0-based unique rank
     seg = jnp.where(s != _SENTINEL, jnp.minimum(seg, cap), cap)
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(seg, jnp.float32), seg, num_segments=cap + 1
-    )[:cap]
-    # Each segment's key is written exactly once (at its first row).
-    ukeys = jnp.full((cap + 1,), _SENTINEL, jnp.int32).at[
-        jnp.where(first, seg, cap)
-    ].set(s)[:cap]
+    # run boundaries of each unique value (seg is nondecreasing)
+    bounds = jnp.searchsorted(seg, jnp.arange(cap + 1, dtype=jnp.int32))
+    counts = (bounds[1:] - bounds[:-1]).astype(jnp.float32)
+    start = jnp.minimum(bounds[:-1], s.shape[0] - 1)
+    ukeys = jnp.where(counts > 0, s[start], _SENTINEL)
     return ukeys, counts
 
 

@@ -21,10 +21,19 @@ from ..ops import geometry
 from ..refine.gauss_newton import refine_pairs
 
 
-def quick_verify(T, f1: Faces, f2: Faces, params: FCCFParams):
-    """Returns (T_refined, score, n_pairs). T is 4x4; faces2 are transformed
-    by it (with normals) exactly like transformPointCloudWithNormals
-    (:712)."""
+def match_faces(T, f1: Faces, f2: Faces, params: FCCFParams):
+    """Pair matching + scoring under transform T (:683-769). Returns
+    (score, n_pairs, n2t_best, c2t_best, importance) where the last three
+    describe the matched (transformed) target plane per source face.
+
+    NOTE (exactness of the deferred-refinement split): in the reference,
+    pair selection and the score both use the transform *before*
+    refinement — ``ceres_refine`` runs after the matching loop and only
+    updates the matrix (:771-782). So the score of a representative is
+    independent of its refinement, and refinement can be deferred to the
+    candidates that are actually consumed downstream (the per-type top
+    ``fine_verify_number``) with bit-identical selection results.
+    """
     R = T[:3, :3]
     t = T[:3, 3]
     c2t = f2.centroid @ R.T + t
@@ -58,17 +67,39 @@ def quick_verify(T, f1: Faces, f2: Faces, params: FCCFParams):
     )
     n_pairs = jnp.sum(pair_valid)
     score = jnp.sum(importance)
+    return score, n_pairs, n2t[best_j], c2t[best_j], importance
 
-    # Refinement on the matched pairs when >= required_optimize (:772-776).
+
+def refine_transform(T, f1: Faces, f2: Faces, params: FCCFParams):
+    """Re-match under T and apply the LM refinement (T <- dT @ T) when
+    >= required_optimize pairs matched (:772-776)."""
+    _, n_pairs, n2b, c2b, importance = match_faces(T, f1, f2, params)
     dT = refine_pairs(
         n1=f1.normal,
         p1=f1.centroid,
-        n2=n2t[best_j],
-        p2=c2t[best_j],
+        n2=n2b,
+        p2=c2b,
         w=importance,
         iters=params.refine_iters,
     )
-    T_ref = dT @ T
     do_refine = n_pairs >= params.required_optimize
-    T_out = jnp.where(do_refine, T_ref, T)
+    return jnp.where(do_refine, dT @ T, T)
+
+
+def quick_verify(T, f1: Faces, f2: Faces, params: FCCFParams):
+    """Full quick_verify (:680-783): returns (T_refined, score, n_pairs).
+    Kept as the reference-shaped primitive; the pipeline driver uses the
+    split match_faces/refine_transform for the deferred-refinement
+    optimization (see match_faces docstring)."""
+    score, n_pairs, n2b, c2b, importance = match_faces(T, f1, f2, params)
+    dT = refine_pairs(
+        n1=f1.normal,
+        p1=f1.centroid,
+        n2=n2b,
+        p2=c2b,
+        w=importance,
+        iters=params.refine_iters,
+    )
+    do_refine = n_pairs >= params.required_optimize
+    T_out = jnp.where(do_refine, dT @ T, T)
     return T_out, score, n_pairs

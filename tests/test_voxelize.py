@@ -6,6 +6,18 @@ import jax.numpy as jnp
 from fccf_pcr_tpu.ops.voxelize import compact, voxel_grid_downsample, voxel_stats
 
 
+def _assert_clouds_match(got, want, atol):
+    """Order-insensitive row match: every got row has a want row within
+    atol, bijectively."""
+    assert got.shape == want.shape
+    d = np.linalg.norm(got[:, None, :] - want[None, :, :], axis=-1)
+    nearest = d.argmin(axis=1)
+    assert (d[np.arange(len(got)), nearest] < atol).all(), (
+        d[np.arange(len(got)), nearest].max()
+    )
+    assert len(np.unique(nearest)) == len(got)  # bijection
+
+
 def _np_downsample(pts, res):
     keys = np.floor(pts / res).astype(np.int64)
     uniq, inv = np.unique(keys, axis=0, return_inverse=True)
@@ -26,11 +38,13 @@ def test_downsample_matches_numpy():
     )
     got = np.asarray(got_p)[np.asarray(got_m)]
     want = _np_downsample(pts[:1500].astype(np.float64), 0.5)
-    # order-insensitive comparison
-    got_sorted = got[np.lexsort(got.T)]
-    want_sorted = want[np.lexsort(want.T)]
     assert got.shape == want.shape
-    np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-4)
+    # 2e-3 m tolerance: centroids come from a log-depth f32 prefix scan
+    # (scatter-free segment reduce); error is O(eps log N * extent), i.e.
+    # sub-mm at meter-scale scenes — tighter than PCL's own linear f32
+    # accumulation. Rows are matched by nearest neighbor (any value- or
+    # cell-based ordering is unstable under fp noise).
+    _assert_clouds_match(got, want, atol=2e-3)
 
 
 def test_voxel_stats_counts_and_centroids():
@@ -45,11 +59,9 @@ def test_voxel_stats_counts_and_centroids():
     # total centroid mass matches
     got_c = np.asarray(stats.centroid)[np.asarray(stats.valid)]
     want_c = np.zeros((len(uniq), 3))
-    np.add.at(want_c, inv, pts)
+    np.add.at(want_c, inv, pts.astype(np.float64))
     want_c /= cnt[:, None]
-    np.testing.assert_allclose(
-        got_c[np.lexsort(got_c.T)], want_c[np.lexsort(want_c.T)], atol=1e-4
-    )
+    _assert_clouds_match(got_c, want_c, atol=2e-3)
     # point_voxel consistency: same cell -> same slot
     pv = np.asarray(point_voxel)
     for cell in range(3):
