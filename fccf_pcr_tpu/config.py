@@ -72,6 +72,8 @@ class FCCFParams:
     refine_iters: int = 50
     # Label-propagation sweeps cap for face growth (converges much earlier).
     label_prop_iters: int = 32
+    # Use the fused Pallas affinity+label-prop kernel on TPU backends.
+    use_pallas: bool = True
     # Type-gate in the final fusion (:1601).
     fuse_gate: float = 0.8
 

@@ -80,6 +80,27 @@ def _pairwise_affinity(normal, centroid, valid, angle_thresh_deg, l, k):
     return vv & ok_normal & ok_plane
 
 
+def _label_components(normal, centroid, valid, angle_thresh, l, k, params):
+    """Connected-component min labels of the affinity graph.
+
+    TPU backends use the fused Pallas kernel (ops/pallas/label_prop.py):
+    predicates computed on the fly in VMEM, Gauss-Seidel sweeps, no (V, V)
+    materialization. Other backends (CPU tests, multichip dryrun) use the
+    XLA affinity-matrix path — both reach the same fixpoint.
+    """
+    V = normal.shape[0]
+    if (
+        params.use_pallas
+        and jax.default_backend() in ("tpu", "axon")
+        and V % 512 == 0
+    ):
+        from ..ops.pallas.label_prop import label_propagate_pallas
+
+        return label_propagate_pallas(normal, centroid, valid, angle_thresh, l, k)
+    aff = _pairwise_affinity(normal, centroid, valid, angle_thresh, l, k)
+    return _label_propagate(aff, valid, params.label_prop_iters)
+
+
 def _label_propagate(affinity, valid, max_iters):
     """Connected components by iterative min-label propagation.
 
@@ -175,10 +196,10 @@ def extract_faces(points, mask, params: FCCFParams, caps: Capacities):
     )
 
     # Pass 1: voxel -> face growth (compare_normal 5deg, l1/k1) (:536-593).
-    aff1 = _pairwise_affinity(
-        normal, vs.centroid, vvalid, params.normal_thresh1, params.l1, params.k1
+    labels1 = _label_components(
+        normal, vs.centroid, vvalid, params.normal_thresh1, params.l1,
+        params.k1, params,
     )
-    labels1 = _label_propagate(aff1, vvalid, params.label_prop_iters)
 
     c1, n1, p1, vc1 = _face_stats(
         labels1, vvalid, vs.count, vs.centroid, normal, V
@@ -187,8 +208,9 @@ def extract_faces(points, mask, params: FCCFParams, caps: Capacities):
 
     # Pass 2: face <-> face merge to fixpoint (compare_normal 8deg, l2/k2)
     # (:595-648). Same propagation primitive over face-representative slots.
-    aff2 = _pairwise_affinity(n1, c1, rep1, params.normal_thresh2, params.l2, params.k2)
-    labels2 = _label_propagate(aff2, rep1, params.label_prop_iters)
+    labels2 = _label_components(
+        n1, c1, rep1, params.normal_thresh2, params.l2, params.k2, params
+    )
 
     final_label = jnp.where(vvalid, labels2[jnp.minimum(labels1, V - 1)], _BIG)
     cF, nF, pF, vcF = _face_stats(

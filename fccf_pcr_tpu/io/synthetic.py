@@ -46,9 +46,15 @@ def make_room_scene(seed=0, points_per_plane=4000, clutter_points=2000,
         ((L, W / 2, Hh / 2), (1, 0, 0), (W, Hh)),
         ((L / 2, 0.0, Hh / 2), (0, 1, 0), (L, Hh)),
         ((L / 2, W, Hh / 2), (0, 1, 0), (L, Hh)),
-        # interior partitions at odd angles (breaks symmetry)
+        # interior structure breaking BOTH the 90- and 180-degree box
+        # symmetries (a bare box registers ambiguously — the flipped
+        # transform matches 8 of its faces; real scans are asymmetric):
+        # two vertical partitions at odd angles + two large slanted planes
+        # confined to one corner each.
         ((L / 3, W / 2, Hh / 2), (0.8, 0.6, 0), (W * 0.7, Hh)),
         ((2 * L / 3, W / 3, Hh / 2), (0.45, -0.89, 0), (W * 0.6, Hh)),
+        ((L * 0.2, W * 0.75, Hh * 0.55), (0.5, 0.1, 0.86), (W * 0.5, Hh * 0.9)),
+        ((L * 0.8, W * 0.2, Hh * 0.4), (-0.2, 0.6, 0.77), (W * 0.45, Hh * 0.8)),
     ]
     parts = [
         make_plane(rng, np.asarray(c, np.float64), n, e, points_per_plane, noise)

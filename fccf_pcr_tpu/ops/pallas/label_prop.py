@@ -1,0 +1,208 @@
+"""Fused affinity + min-label-propagation Pallas TPU kernel.
+
+Replaces the XLA path in features/faces.py (build a (V, V) boolean affinity,
+then sweep `labels <- min(labels, affinity-neighbor labels)`) with a single
+kernel that
+
+  - computes the compare_normal / compare_plane predicates (FCCF.cpp:369-407)
+    on the fly from per-voxel stats resident in VMEM — the (V, V) affinity
+    never exists in HBM;
+  - performs Gauss-Seidel sweeps: the TPU grid executes sequentially, and
+    labels are updated in place, so later row blocks see earlier updates
+    within the same sweep (faster convergence than the XLA Jacobi sweeps);
+  - reports whether the final sweep changed anything, so the caller can run
+    a convergence loop on top of a fixed in-kernel sweep count.
+
+Layouts: stats are passed both voxel-major (V, 8) and field-major (8, V) so
+the i-block loads columns and the j-chunks load rows without in-kernel
+transposes of large tiles.
+
+Field order: [nhx, nhy, nhz, cx, cy, cz, rdotc, c2] where nh* is the
+normal scaled for the angle gate, c* the centroid, rdotc = raw_n . c and
+c2 = |c|^2. The plane gate uses the *raw* normal, passed via a second
+field block [rnx, rny, rnz, valid, 0, 0, 0, 0].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 2**30  # python int: jnp scalars become captured consts in kernels
+
+BI = 128   # i-block (rows updated per grid step)
+BJ = 512   # j-chunk (lanes scanned per inner iteration)
+
+
+def _sweep_kernel(
+    statsT_ref,  # (V, 16) voxel-major fields
+    stats_ref,   # (16, V) field-major fields
+    params_ref,  # (1, 4) SMEM: cos_gate, l, k, n_sweeps(unused)
+    labels_in_ref,   # (1, V) int32 (aliased to labels_ref; unused directly)
+    labels_ref,  # (1, V) int32 output, updated in place across grid steps
+    changed_ref,  # (1, 1) int32 SMEM out
+    *,
+    V: int,
+):
+    s = pl.program_id(0)
+    ib = pl.program_id(1)
+    n_s = pl.num_programs(0)
+    i0 = ib * BI
+
+    cos_gate = params_ref[0, 0]
+    l = params_ref[0, 1]
+    k = params_ref[0, 2]
+
+    @pl.when((s == 0) & (ib == 0))
+    def _():
+        changed_ref[0, 0] = 0
+        # The output VMEM block is NOT initialized from the aliased input
+        # buffer on hardware (only final write-back is aliased) — seed it
+        # explicitly before the first sweep reads it.
+        labels_ref[...] = labels_in_ref[...]
+
+    # i-block columns (BI, 1)
+    nhx_i = statsT_ref[pl.ds(i0, BI), 0:1]
+    nhy_i = statsT_ref[pl.ds(i0, BI), 1:2]
+    nhz_i = statsT_ref[pl.ds(i0, BI), 2:3]
+    cx_i = statsT_ref[pl.ds(i0, BI), 3:4]
+    cy_i = statsT_ref[pl.ds(i0, BI), 4:5]
+    cz_i = statsT_ref[pl.ds(i0, BI), 5:6]
+    rdc_i = statsT_ref[pl.ds(i0, BI), 6:7]
+    c2_i = statsT_ref[pl.ds(i0, BI), 7:8]
+    rnx_i = statsT_ref[pl.ds(i0, BI), 8:9]
+    rny_i = statsT_ref[pl.ds(i0, BI), 9:10]
+    rnz_i = statsT_ref[pl.ds(i0, BI), 10:11]
+    valid_i = statsT_ref[pl.ds(i0, BI), 11:12]
+
+    def j_chunk(jc, cand):
+        j0 = jc * BJ
+        nhx_j = stats_ref[0:1, pl.ds(j0, BJ)]
+        nhy_j = stats_ref[1:2, pl.ds(j0, BJ)]
+        nhz_j = stats_ref[2:3, pl.ds(j0, BJ)]
+        cx_j = stats_ref[3:4, pl.ds(j0, BJ)]
+        cy_j = stats_ref[4:5, pl.ds(j0, BJ)]
+        cz_j = stats_ref[5:6, pl.ds(j0, BJ)]
+        rdc_j = stats_ref[6:7, pl.ds(j0, BJ)]
+        c2_j = stats_ref[7:8, pl.ds(j0, BJ)]
+        rnx_j = stats_ref[8:9, pl.ds(j0, BJ)]
+        rny_j = stats_ref[9:10, pl.ds(j0, BJ)]
+        rnz_j = stats_ref[10:11, pl.ds(j0, BJ)]
+        valid_j = stats_ref[11:12, pl.ds(j0, BJ)]
+
+        # (BI, BJ) broadcasting: column (BI,1) x row (1,BJ)
+        cosm = nhx_i * nhx_j + nhy_i * nhy_j + nhz_i * nhz_j
+        cicj = cx_i * cx_j + cy_i * cy_j + cz_i * cz_j
+        d2 = jnp.maximum(c2_i + c2_j - 2.0 * cicj, 0.0)
+        dist = jnp.sqrt(d2)
+        # m1 = rn_i . (c_i - c_j); m2 = rn_j . (c_i - c_j)
+        m1 = rdc_i - (rnx_i * cx_j + rny_i * cy_j + rnz_i * cz_j)
+        m2 = (rnx_j * cx_i + rny_j * cy_i + rnz_j * cz_i) - rdc_j
+        # |m| * (k*dist + 1) < l * dist  <=>  |m|/dist < l/(k*dist+1)
+        lim = l * dist
+        kd = k * dist + 1.0
+        plane_ok = (jnp.abs(m1) * kd < lim) & (jnp.abs(m2) * kd < lim)
+        plane_ok = plane_ok | (dist <= 1e-9)
+        aff = (
+            (cosm >= cos_gate)
+            & plane_ok
+            & (valid_i > 0.5)
+            & (valid_j > 0.5)
+        )
+
+        lbl_j = labels_ref[0:1, pl.ds(j0, BJ)]
+        c = jnp.min(jnp.where(aff, lbl_j, jnp.int32(_BIG)), axis=1, keepdims=True)
+        return jnp.minimum(cand, c)
+
+    cand = jax.lax.fori_loop(
+        0, V // BJ, j_chunk, jnp.full((BI, 1), _BIG, jnp.int32)
+    )
+
+    cur = labels_ref[0:1, pl.ds(i0, BI)]
+    new = jnp.minimum(cur, cand.reshape(1, BI))
+    any_change = jnp.any(new != cur)
+
+    @pl.when((s == n_s - 1) & any_change)
+    def _():
+        changed_ref[0, 0] = 1
+
+    labels_ref[0:1, pl.ds(i0, BI)] = new
+
+
+def _pack_stats(normal, centroid, valid, angle_thresh_deg):
+    """Build the two stat layouts consumed by the kernel."""
+    V = normal.shape[0]
+    nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    nh = normal / jnp.maximum(nrm, 1e-12)
+    rdotc = jnp.sum(normal * centroid, axis=-1)
+    c2 = jnp.sum(centroid * centroid, axis=-1)
+    fields = jnp.stack(
+        [
+            nh[:, 0], nh[:, 1], nh[:, 2],
+            centroid[:, 0], centroid[:, 1], centroid[:, 2],
+            rdotc, c2,
+            normal[:, 0], normal[:, 1], normal[:, 2],
+            valid.astype(normal.dtype),
+            jnp.zeros((V,), normal.dtype),
+            jnp.zeros((V,), normal.dtype),
+            jnp.zeros((V,), normal.dtype),
+            jnp.zeros((V,), normal.dtype),
+        ],
+        axis=-1,
+    )  # (V, 16)
+    return fields, fields.T
+
+
+def label_propagate_pallas(
+    normal, centroid, valid, angle_thresh_deg, l, k,
+    sweeps_per_call: int = 4, max_calls: int = 16, interpret: bool = False,
+):
+    """Connected-component min labels of the affinity graph, via the fused
+    kernel. Semantically identical to features.faces._pairwise_affinity +
+    _label_propagate (Gauss-Seidel ordering reaches the same fixpoint)."""
+    V = normal.shape[0]
+    assert V % BI == 0 and V % BJ == 0, f"V={V} must be a multiple of {BJ}"
+    statsT, stats = _pack_stats(normal, centroid, valid, angle_thresh_deg)
+    cos_gate = jnp.cos(jnp.deg2rad(angle_thresh_deg)).astype(normal.dtype)
+    params = jnp.array([[cos_gate, l, k, 0.0]], normal.dtype)
+    labels0 = jnp.where(valid, jnp.arange(V, dtype=jnp.int32), _BIG).reshape(1, V)
+
+    call = pl.pallas_call(
+        functools.partial(_sweep_kernel, V=V),
+        grid=(sweeps_per_call, V // BI),
+        in_specs=[
+            pl.BlockSpec((V, 16), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, V), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda s, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, V), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, V), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda s, i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, V), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )
+
+    def body(state):
+        labels, _, it = state
+        labels, changed = call(statsT, stats, params, labels)
+        return labels, changed[0, 0] > 0, it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_calls)
+
+    labels, changed0 = call(statsT, stats, params, labels0)
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, changed0[0, 0] > 0, jnp.int32(1))
+    )
+    return labels.reshape(V)

@@ -25,7 +25,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_OFFSET = 32768  # recenter per-dim cell indices into [0, 65536)
+_SENT = jnp.iinfo(jnp.int32).max
+
+# Packed-key extent limits (cells): z-major like PCL leaf ordering.
+_XBITS, _YBITS, _ZBITS = 11, 10, 10
+_XMAX, _YMAX, _ZMAX = (1 << _XBITS) - 1, (1 << _YBITS) - 1, (1 << _ZBITS) - 2
 
 
 class VoxelStats(NamedTuple):
@@ -39,32 +43,41 @@ class VoxelStats(NamedTuple):
 
 
 def _cell_keys(points, mask, res):
-    """(hi, lo) int32 sort keys per point; invalid points sort last."""
+    """Single int32 sort key per point; invalid points sort last.
+
+    Cells are absolute-anchored floor(p/res) but re-indexed relative to the
+    cloud's min occupied cell, packed z-major (kz, ky, kx) into one int32 —
+    one sort instead of a two-key lexsort. Extent limit: 2047 x 1023 x 1022
+    cells (204 x 102 x 102 m at a 0.1 m leaf; clouds beyond that clip into
+    border cells and raise the overflow flag).
+    """
     k = jnp.floor(points / res).astype(jnp.int32)
-    kx = jnp.clip(k[..., 0] + _OFFSET, 0, 65535)
-    ky = jnp.clip(k[..., 1] + _OFFSET, 0, 65535)
-    kz = k[..., 2]
-    hi = jnp.where(mask, kz, jnp.iinfo(jnp.int32).max)
-    lo = jnp.where(mask, ky * 65536 + kx, jnp.iinfo(jnp.int32).max)
-    return hi, lo
+    masked = jnp.where(mask[:, None], k, _SENT)
+    kmin = jnp.min(masked, axis=0)
+    rel = k - kmin
+    ovf = jnp.any(
+        mask[:, None]
+        & (rel > jnp.array([_XMAX, _YMAX, _ZMAX]))
+    )
+    rel = jnp.clip(rel, 0, jnp.array([_XMAX, _YMAX, _ZMAX]))
+    key = (
+        (rel[..., 2] << (_XBITS + _YBITS))
+        | (rel[..., 1] << _XBITS)
+        | rel[..., 0]
+    )
+    return jnp.where(mask, key, _SENT), ovf
 
 
-def _sorted_segments(hi, lo, mask):
-    """Sort by (hi, lo); return (order, seg_id_sorted, seg_start_sorted).
+def _sorted_segments(key, mask):
+    """Sort by key; return (order, seg_id_sorted, first_flag_sorted).
 
     seg_id is 0-based in first-occurrence order over the *sorted* sequence;
     invalid points (sentinel keys) share the trailing segment and must be
     masked by the caller.
     """
-    order = jnp.lexsort((lo, hi))
-    hi_s = hi[order]
-    lo_s = lo[order]
-    first = jnp.concatenate(
-        [
-            jnp.ones((1,), bool),
-            (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
-        ]
-    )
+    order = jnp.argsort(key, stable=True)
+    k_s = key[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
     seg_id = jnp.cumsum(first) - 1
     return order, seg_id, first
 
@@ -103,8 +116,8 @@ def voxel_grid_downsample(points, mask, res, out_capacity=None):
     """
     n = points.shape[0]
     cap = n if out_capacity is None else out_capacity
-    hi, lo = _cell_keys(points, mask, res)
-    order, seg_id, _ = _sorted_segments(hi, lo, mask)
+    key, _ = _cell_keys(points, mask, res)
+    order, seg_id, _ = _sorted_segments(key, mask)
     pts_s = points[order]
     mask_s = mask[order]
     seg = jnp.where(mask_s, jnp.minimum(seg_id, cap), cap)
@@ -126,8 +139,8 @@ def voxel_stats(points, mask, res, num_voxels):
     cloud mask without compaction.
     """
     V = num_voxels
-    hi, lo = _cell_keys(points, mask, res)
-    order, seg_id, _ = _sorted_segments(hi, lo, mask)
+    key, key_ovf = _cell_keys(points, mask, res)
+    order, seg_id, _ = _sorted_segments(key, mask)
     pts_s = points[order]
     mask_s = mask[order]
     seg = jnp.where(mask_s & (seg_id < V), seg_id, V)
@@ -143,7 +156,7 @@ def voxel_stats(points, mask, res, num_voxels):
     cov = covsum.reshape(V, 3, 3) / jnp.maximum(cntf[:, None, None], 1.0)
 
     nvalid_seg = jnp.max(jnp.where(mask_s, seg_id, -1)) + 1
-    overflow = nvalid_seg > V
+    overflow = (nvalid_seg > V) | key_ovf
 
     # Map voxel slot back to each original point: invert the sort
     # permutation (argsort of a permutation is its inverse; scatter-free).

@@ -129,10 +129,9 @@ def _register_pair_impl(
     _, _, r1_valid, r1_pts = compact(res1_mask, caps.max_residual, tar_d)
     _, _, r2_valid, r2_pts = compact(res2_mask, caps.max_residual, src_d)
     table = build_source_table(r1_pts, r1_valid, params, caps)
-    fv = jax.vmap(
-        jax.vmap(lambda T: fine_verify(T, table, r2_pts, r2_valid, params, caps))
-    )
-    fscore = jnp.where(top_valid, fv(top_T), 0.0)
+    fv = jax.vmap(lambda T: fine_verify(T, table, r2_pts, r2_valid, params, caps))
+    fscore_flat = fv(top_T.reshape(3 * K, 4, 4))
+    fscore = jnp.where(top_valid, fscore_flat.reshape(3, K), 0.0)
 
     # Global score normalization across ALL fine-verified candidates of all
     # types (:1539-1540 accumulate across the type loop), then per-type best

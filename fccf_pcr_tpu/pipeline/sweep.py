@@ -35,13 +35,30 @@ def run_sweep(
     ground_truth=None,
     use_mesh: bool = True,
     out_path: str | None = None,
+    resume: bool = True,
 ):
     """Register a list of (src_points, tar_points) pairs.
 
     pairs: list of (np.ndarray (M,3), np.ndarray (K,3)).
     ground_truth: optional list of 4x4 arrays (src->tar).
     Returns (records, summary); writes JSONL to out_path if given.
+
+    Checkpoint/resume: with ``out_path`` + ``resume``, per-pair records are
+    appended as they complete and pairs already present in the file are
+    skipped on restart — a long sweep survives preemption (SURVEY.md §5).
     """
+    import os
+
+    done: dict[int, dict] = {}
+    if resume and out_path and os.path.exists(out_path):
+        with open(out_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "pair" in rec:
+                    done[rec["pair"]] = rec
     from ..io.synthetic import pad_points
     from ..pipeline.metrics import registration_errors
     from ..pipeline.register import make_register_fn
@@ -56,10 +73,12 @@ def run_sweep(
     else:
         fn = make_register_fn(params, caps, batched=True)
 
-    records = []
+    records = list(done.values())
     total_time = 0.0
     n_done = 0
-    for chunk_idx, chunk in enumerate(_chunk(list(range(len(pairs))), batch_size)):
+    out_f = open(out_path, "a") if out_path else None
+    todo = [i for i in range(len(pairs)) if i not in done]
+    for chunk_idx, chunk in enumerate(_chunk(todo, batch_size)):
         idxs = list(chunk)
         # pad the final chunk to the batch size (masked-out dummy pairs)
         pad_to = batch_size
@@ -99,9 +118,13 @@ def run_sweep(
                 rec["rre_deg"] = float(rre)
                 rec["rte_m"] = float(rte)
             records.append(rec)
+            if out_f is not None:
+                out_f.write(json.dumps(rec) + "\n")
+                out_f.flush()
 
     summary = {
         "n_pairs": len(pairs),
+        "n_resumed": len(done),
         "pairs_per_sec": (n_done / total_time) if total_time > 0 else None,
         "n_devices": len(devices),
         "sharded": mesh is not None,
@@ -115,9 +138,8 @@ def run_sweep(
             rte_mean_m=float(np.mean(rtes)),
             rte_max_m=float(np.max(rtes)),
         )
-    if out_path:
-        with open(out_path, "w") as f:
-            for r in records:
-                f.write(json.dumps(r) + "\n")
-            f.write(json.dumps({"summary": summary}) + "\n")
+    if out_f is not None:
+        out_f.write(json.dumps({"summary": summary}) + "\n")
+        out_f.close()
+    records.sort(key=lambda r: r["pair"])
     return records, summary

@@ -1,0 +1,42 @@
+"""Pallas fused affinity+label-prop kernel vs the XLA reference path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fccf_pcr_tpu.features.faces import _label_propagate, _pairwise_affinity
+from fccf_pcr_tpu.ops.pallas.label_prop import label_propagate_pallas
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_kernel_matches_xla_path(seed):
+    rng = np.random.default_rng(seed)
+    V = 512
+    # clustered normals/centroids so real components form
+    n_groups = 6
+    gn = rng.normal(size=(n_groups, 3))
+    gn /= np.linalg.norm(gn, axis=1, keepdims=True)
+    gc = rng.uniform(-10, 10, (n_groups, 3))
+    which = rng.integers(0, n_groups, V)
+    # place centroids in the group plane so compare_plane holds in-group
+    normal = (gn[which] + rng.normal(0, 0.01, (V, 3))).astype(np.float32)
+    offsets = rng.uniform(-4, 4, (V, 3)).astype(np.float32)
+    offsets -= (offsets * gn[which]).sum(1, keepdims=True) * gn[which]
+    centroid = (gc[which] + offsets).astype(np.float32)
+    valid = rng.uniform(size=V) > 0.15
+
+    args = (
+        jnp.asarray(normal),
+        jnp.asarray(centroid),
+        jnp.asarray(valid),
+        5.0,
+        0.5,
+        5.0,
+    )
+    aff = _pairwise_affinity(*args)
+    want = np.asarray(_label_propagate(aff, jnp.asarray(valid), 64))
+    got = np.asarray(
+        label_propagate_pallas(*args, sweeps_per_call=2, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
