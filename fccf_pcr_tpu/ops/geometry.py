@@ -238,9 +238,13 @@ def apply_transform(T, pts):
 
 
 def rotation_error_deg(R_est, R_gt):
-    """Relative rotation error (degrees)."""
-    Rd = jnp.einsum("...ij,...ik->...jk", R_gt, R_est)  # R_gt^T @ R_est
-    tr = Rd[..., 0, 0] + Rd[..., 1, 1] + Rd[..., 2, 2]
+    """Relative rotation error (degrees).
+
+    tr(R_gt^T R_est) is computed as the elementwise dot sum(R_gt * R_est)
+    — NOT a matmul — so the metric is exact f32 even in eager mode on TPU,
+    where matmuls default to bf16 (a bf16 trace error of ~3e-3 fabricates
+    ~4 deg of rotation error near identity)."""
+    tr = jnp.sum(R_gt * R_est, axis=(-2, -1))
     cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
     return jnp.degrees(jnp.arccos(cos))
 

@@ -57,6 +57,10 @@ class RegistrationResult(NamedTuple):
     n_faces: jax.Array       # (2,) int32 faces in target/source clouds
     n_hypotheses: jax.Array  # () int32
     status: jax.Array        # () int32 bit flags
+    # Observability (SURVEY.md §5): the per-type winners entering fusion.
+    type_transform: jax.Array  # (3, 4, 4) per-type best refined transform
+    type_score: jax.Array      # (3,) combined score of each winner
+    kept: jax.Array            # (3,) bool, passed the 0.8 fusion gate
 
 
 def register_pair(
@@ -174,6 +178,9 @@ def _register_pair_impl(
         ).astype(jnp.int32),
         n_hypotheses=hyp.count,
         status=status,
+        type_transform=best_T,
+        type_score=best_score,
+        kept=keep,
     )
 
 

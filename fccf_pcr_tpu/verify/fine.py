@@ -74,19 +74,27 @@ def build_source_table(src_pts, src_mask, params: FCCFParams, caps: Capacities):
 
 
 def fine_verify(T, table: SourceTable, tar_pts, tar_mask, params, caps):
-    """Score one candidate transform (:785-839). Returns the scalar score."""
+    """Score one candidate transform (:785-839). Returns the scalar score.
+
+    Sort-free per candidate: only voxels holding BOTH labels contribute
+    (:830), and those are a subset of the source voxels — so each
+    transformed target point just binary-searches the static source table
+    and a scatter-add accumulates per-source-voxel target counts. Exactly
+    the reference's score, with no per-candidate octree/sort.
+    """
     R = T[:3, :3]
     t = T[:3, 3]
     tar_t = tar_pts @ R.T + t
     keys = _pack_keys(tar_t, tar_mask, params.fine_voxel)
-    ukeys, tcounts = _unique_counts(keys, caps.max_fine_voxels)
 
-    pos = jnp.searchsorted(table.keys, ukeys)
-    pos = jnp.minimum(pos, table.keys.shape[0] - 1)
-    hit = (table.keys[pos] == ukeys) & (ukeys != _SENTINEL)
-    s = jnp.where(hit, table.counts[pos], 0.0)
-    tt = jnp.where(ukeys != _SENTINEL, tcounts, 0.0)
+    Vf = table.keys.shape[0]
+    pos = jnp.minimum(jnp.searchsorted(table.keys, keys), Vf - 1)
+    hit = (table.keys[pos] == keys) & tar_mask
+    tt = jax.ops.segment_sum(
+        hit.astype(jnp.float32), jnp.where(hit, pos, Vf), num_segments=Vf + 1
+    )[:Vf]
 
+    s = table.counts
     both = (s >= 1.0) & (tt >= 1.0)
     mn = jnp.minimum(s, tt)
     mx = jnp.maximum(s, tt)
