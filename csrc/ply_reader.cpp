@@ -221,3 +221,73 @@ int fccf_ply_read(const char* path, float** out_xyz, int64_t* out_n) {
 void fccf_ply_free(float* p) { free(p); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched, threaded loader: reads N PLY files in parallel and pads/subsamples
+// each directly into a caller-allocated (n, capacity, 3) float32 buffer +
+// (n, capacity) uint8 mask — the exact fixed-capacity layout the registration
+// pipeline consumes (fccf_pcr_tpu/io/synthetic.py pad_points semantics:
+// deterministic every-k-th subsample on overflow).
+//
+//   int fccf_ply_read_batch(const char** paths, int64_t n_files,
+//                           int64_t capacity, int threads,
+//                           float* out_points, uint8_t* out_mask,
+//                           int64_t* out_counts);
+// returns 0 on success, else the first nonzero per-file error code.
+
+#include <atomic>
+#include <thread>
+
+extern "C" {
+
+int fccf_ply_read_batch(const char** paths, int64_t n_files, int64_t capacity,
+                        int threads, float* out_points, uint8_t* out_mask,
+                        int64_t* out_counts) {
+  std::atomic<int64_t> next(0);
+  std::atomic<int> status(0);
+  int nthreads = threads > 0 ? threads : 4;
+  if (nthreads > n_files) nthreads = static_cast<int>(n_files);
+
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_files) return;
+      float* xyz = nullptr;
+      int64_t m = 0;
+      int rc = fccf_ply_read(paths[i], &xyz, &m);
+      if (rc != 0) {
+        int expected = 0;
+        status.compare_exchange_strong(expected, rc);
+        out_counts[i] = 0;
+        memset(out_points + i * capacity * 3, 0,
+               sizeof(float) * capacity * 3);
+        memset(out_mask + i * capacity, 0, capacity);
+        continue;
+      }
+      float* dst = out_points + i * capacity * 3;
+      uint8_t* msk = out_mask + i * capacity;
+      int64_t kept = m <= capacity ? m : capacity;
+      if (m <= capacity) {
+        memcpy(dst, xyz, sizeof(float) * 3 * m);
+      } else {
+        // deterministic even subsample (linspace over [0, m-1])
+        for (int64_t k = 0; k < capacity; k++) {
+          int64_t src = (k * (m - 1)) / (capacity - 1);
+          memcpy(dst + k * 3, xyz + src * 3, sizeof(float) * 3);
+        }
+      }
+      memset(dst + kept * 3, 0, sizeof(float) * 3 * (capacity - kept));
+      memset(msk, 1, kept);
+      memset(msk + kept, 0, capacity - kept);
+      out_counts[i] = m;
+      fccf_ply_free(xyz);
+    }
+  };
+
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return status.load();
+}
+
+}  // extern "C"

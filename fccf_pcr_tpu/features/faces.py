@@ -101,13 +101,27 @@ def _label_components(normal, centroid, valid, angle_thresh, l, k, params):
     return _label_propagate(aff, valid, params.label_prop_iters)
 
 
-def _label_propagate(affinity, valid, max_iters):
-    """Connected components by iterative min-label propagation.
+def pointer_jump(labels, V, rounds: int = 8):
+    """Path-halving: labels <- min(labels, labels[labels]) a few times.
 
-    labels[i] converges to the minimum slot index of i's component. The
-    affinity graph includes long-range edges (coplanarity is tested between
-    *all* voxel pairs, not just neighbors — exactly like the reference's
-    O(V^2) loops), so convergence takes only a few sweeps.
+    After a neighbor-min sweep, chains shrink by one hop per sweep; pointer
+    jumping shortcuts them exponentially with O(V) gathers, so only ~2-4
+    expensive O(V^2) sweeps are needed regardless of component diameter.
+    Invariant preserved: labels[i] is always the index of some node in i's
+    component with labels monotonically decreasing toward the component min.
+    """
+    def body(_, l):
+        return jnp.minimum(l, l[jnp.minimum(l, V - 1)])
+
+    return jax.lax.fori_loop(0, rounds, body, labels)
+
+
+def _label_propagate(affinity, valid, max_iters):
+    """Connected components by min-label propagation + pointer jumping.
+
+    labels[i] converges to the minimum slot index of i's component. Each
+    iteration does one O(V^2) neighbor-min sweep over the affinity matrix
+    followed by O(V) path-halving rounds.
     """
     V = affinity.shape[0]
     init = jnp.where(valid, jnp.arange(V, dtype=jnp.int32), _BIG)
@@ -120,6 +134,7 @@ def _label_propagate(affinity, valid, max_iters):
         labels, _, it = state
         neigh = jnp.min(jnp.where(affinity, labels[None, :], _BIG), axis=1)
         new = jnp.minimum(labels, neigh)
+        new = jnp.where(valid, pointer_jump(new, V), _BIG)
         return new, jnp.any(new != labels), it + 1
 
     labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
@@ -158,11 +173,12 @@ def _face_stats(labels, valid, count, centroid, normal, V):
 
 
 def extract_faces(points, mask, params: FCCFParams, caps: Capacities):
-    """points (N,3), mask (N,) -> (Faces, residual_mask (N,), overflow).
+    """points (N,3), mask (N,) -> (Faces, (sorted_pts, residual_mask), ovf).
 
-    ``residual_mask`` marks points belonging to voxels that passed the
-    point-count gate but failed the curvature gate — the reference's
-    ``cloud_sub`` (FCCF.cpp:527-530), consumed by fine verification.
+    The residual pair marks points (in voxel-sorted order) belonging to
+    voxels that passed the point-count gate but failed the curvature gate —
+    the reference's ``cloud_sub`` (FCCF.cpp:527-530), consumed by fine
+    verification (which is order-insensitive).
     """
     V = caps.max_voxels
     F = caps.max_faces
@@ -172,7 +188,9 @@ def extract_faces(points, mask, params: FCCFParams, caps: Capacities):
         jnp.where(mask[:, None], points, 0.0), axis=0
     ) / jnp.maximum(total, 1.0)
 
-    vs, point_voxel = voxel_stats(points, mask, params.face_voxel_size, V)
+    vs, sorted_pts, point_voxel = voxel_stats(
+        points, mask, params.face_voxel_size, V
+    )
     normal, curvature = eigen3.plane_fit_from_cov(vs.cov)
 
     enough = vs.count > params.voxel_point_threshold  # strictly > (:486)
@@ -184,16 +202,13 @@ def extract_faces(points, mask, params: FCCFParams, caps: Capacities):
     flip = jnp.sum(to_c * normal, axis=-1) < 0.0
     normal = jnp.where(flip[:, None], normal, -normal)
 
-    # Residual (non-planar) cloud mask for fine verify (:527-530). Points in
-    # under-populated voxels are dropped entirely, matching the reference.
+    # Residual (non-planar) cloud mask for fine verify (:527-530), aligned
+    # to sorted_pts. Points in under-populated voxels are dropped entirely,
+    # matching the reference. One combined gate -> ONE per-point gather
+    # (three separate (V,)-table gathers cost ~11 ms each at N=131k on v5e).
+    residual_gate = vs.valid & enough & ~planar
     pv = jnp.minimum(point_voxel, V - 1)
-    residual_mask = (
-        mask
-        & (point_voxel < V)
-        & enough[pv]
-        & ~planar[pv]
-        & vs.valid[pv]
-    )
+    residual_mask = (point_voxel < V) & residual_gate[pv]
 
     # Pass 1: voxel -> face growth (compare_normal 5deg, l1/k1) (:536-593).
     labels1 = _label_components(
@@ -242,4 +257,4 @@ def extract_faces(points, mask, params: FCCFParams, caps: Capacities):
         theta=jnp.where(fvalid, theta[order], 0.0),
         valid=fvalid,
     )
-    return faces, residual_mask, vs.overflow
+    return faces, (sorted_pts, residual_mask), vs.overflow

@@ -39,6 +39,16 @@ def load_library():
         lib.fccf_ply_read.restype = ctypes.c_int
         lib.fccf_ply_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         lib.fccf_ply_free.restype = None
+        lib.fccf_ply_read_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fccf_ply_read_batch.restype = ctypes.c_int
         _LIB = lib
     except OSError:
         _LIB = None
@@ -63,3 +73,34 @@ def native_read_ply(path: str):
         return np.array(buf, dtype=np.float32)  # owning copy
     finally:
         lib.fccf_ply_free(out)
+
+
+def native_read_ply_batch(paths, capacity: int, threads: int = 8):
+    """Threaded batch load of PLY files, padded/subsampled into the
+    pipeline's fixed-capacity layout.
+
+    Returns (points (n, capacity, 3) float32, mask (n, capacity) bool,
+    raw_counts (n,) int64) or None when the native library is unavailable
+    (callers fall back to read_ply + pad_points per file)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(paths)
+    pts = np.zeros((n, capacity, 3), np.float32)
+    mask = np.zeros((n, capacity), np.uint8)
+    counts = np.zeros((n,), np.int64)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.fccf_ply_read_batch(
+        arr,
+        n,
+        capacity,
+        threads,
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc == 1:
+        raise FileNotFoundError("one or more PLY files could not be opened")
+    if rc != 0:
+        return None  # unsupported layout somewhere -> python fallback
+    return pts, mask.astype(bool), counts

@@ -159,7 +159,7 @@ def _pack_stats(normal, centroid, valid, angle_thresh_deg):
 
 def label_propagate_pallas(
     normal, centroid, valid, angle_thresh_deg, l, k,
-    sweeps_per_call: int = 4, max_calls: int = 16, interpret: bool = False,
+    sweeps_per_call: int = 2, max_calls: int = 32, interpret: bool = False,
 ):
     """Connected-component min labels of the affinity graph, via the fused
     kernel. Semantically identical to features.faces._pairwise_affinity +
@@ -192,10 +192,22 @@ def label_propagate_pallas(
         interpret=interpret,
     )
 
+    def jump(labels):
+        # Path-halving between kernel calls: shortcut chains with O(V)
+        # gathers so only a few O(V^2) sweep calls are needed (see
+        # features.faces.pointer_jump).
+        l = labels.reshape(V)
+
+        def body(_, x):
+            return jnp.minimum(x, x[jnp.minimum(x, V - 1)])
+
+        l = jax.lax.fori_loop(0, 8, body, l)
+        return jnp.where(valid, l, jnp.int32(_BIG)).reshape(1, V)
+
     def body(state):
         labels, _, it = state
         labels, changed = call(statsT, stats, params, labels)
-        return labels, changed[0, 0] > 0, it + 1
+        return jump(labels), changed[0, 0] > 0, it + 1
 
     def cond(state):
         _, changed, it = state
@@ -203,6 +215,6 @@ def label_propagate_pallas(
 
     labels, changed0 = call(statsT, stats, params, labels0)
     labels, _, _ = jax.lax.while_loop(
-        cond, body, (labels, changed0[0, 0] > 0, jnp.int32(1))
+        cond, body, (jump(labels), changed0[0, 0] > 0, jnp.int32(1))
     )
     return labels.reshape(V)

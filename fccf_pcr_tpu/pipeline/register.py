@@ -91,28 +91,35 @@ def _register_pair_impl(
     f32 = src_pts.dtype
 
     # NaN removal (:1372-1375) + internal downsample (:1377-1387).
-    src_mask = src_mask & jnp.all(jnp.isfinite(src_pts), axis=-1)
-    tar_mask = tar_mask & jnp.all(jnp.isfinite(tar_pts), axis=-1)
-    src_pts = jnp.where(src_mask[:, None], src_pts, 0.0)
-    tar_pts = jnp.where(tar_mask[:, None], tar_pts, 0.0)
-    tar_d, tar_dm = voxel_grid_downsample(tar_pts, tar_mask, params.leaf_size)
-    src_d, src_dm = voxel_grid_downsample(src_pts, src_mask, params.leaf_size)
+    with jax.named_scope("downsample"):
+        src_mask = src_mask & jnp.all(jnp.isfinite(src_pts), axis=-1)
+        tar_mask = tar_mask & jnp.all(jnp.isfinite(tar_pts), axis=-1)
+        src_pts = jnp.where(src_mask[:, None], src_pts, 0.0)
+        tar_pts = jnp.where(tar_mask[:, None], tar_pts, 0.0)
+        tar_d, tar_dm = voxel_grid_downsample(tar_pts, tar_mask, params.leaf_size)
+        src_d, src_dm = voxel_grid_downsample(src_pts, src_mask, params.leaf_size)
 
     # Faces: f1 = target cloud (reference's face_vecter1), f2 = source.
-    f1, res1_mask, ovf1 = extract_faces(tar_d, tar_dm, params, caps)
-    f2, res2_mask, ovf2 = extract_faces(src_d, src_dm, params, caps)
+    with jax.named_scope("faces"):
+        f1, (res1_pts, res1_mask), ovf1 = extract_faces(tar_d, tar_dm, params, caps)
+        f2, (res2_pts, res2_mask), ovf2 = extract_faces(src_d, src_dm, params, caps)
 
-    b1 = select_bases(f1, params)
-    b2 = select_bases(f2, params)
-    hyp = generate_hypotheses(f1, f2, b1, b2, params, caps)
-    reps = cluster_hypotheses(hyp, params, caps)
+    with jax.named_scope("hypotheses"):
+        b1 = select_bases(f1, params)
+        b2 = select_bases(f2, params)
+        hyp = generate_hypotheses(f1, f2, b1, b2, params, caps)
+    with jax.named_scope("cluster"):
+        reps = cluster_hypotheses(hyp, params, caps)
 
     # Quick verify every representative (3 types x C reps). Scores are
     # refinement-independent (see verify.quick.match_faces), so the LM
     # refinement is deferred to the top candidates actually consumed.
-    rep_T = geometry.make_transform(geometry.quat_to_matrix(reps.quat), reps.t)
-    mv = jax.vmap(jax.vmap(lambda T: match_faces(T, f1, f2, params)[0]))
-    qscore = jnp.where(reps.valid, mv(rep_T), -jnp.inf)
+    with jax.named_scope("quick_verify"):
+        rep_T = geometry.make_transform(
+            geometry.quat_to_matrix(reps.quat), reps.t
+        )
+        mv = jax.vmap(jax.vmap(lambda T: match_faces(T, f1, f2, params)[0]))
+        qscore = jnp.where(reps.valid, mv(rep_T), -jnp.inf)
 
     # Per-type sort by quick score desc (score_range :1233-1251, stable) and
     # select the top fine_verify_number for fine verification (:1499-1544).
@@ -125,17 +132,21 @@ def _register_pair_impl(
     top_q = jnp.where(top_valid, top_q, 0.0)
 
     # Refine only the (3, K) selected candidates (:772-776 semantics).
-    rv = jax.vmap(jax.vmap(lambda T: refine_transform(T, f1, f2, params)))
-    top_T = rv(top_T0)
+    with jax.named_scope("refine"):
+        rv = jax.vmap(jax.vmap(lambda T: refine_transform(T, f1, f2, params)))
+        top_T = rv(top_T0)
 
     # Fine verify: residual clouds (cloud_sub1 = target residual, label 0;
     # cloud_sub2 = source residual, label 1, transformed per candidate).
-    _, _, r1_valid, r1_pts = compact(res1_mask, caps.max_residual, tar_d)
-    _, _, r2_valid, r2_pts = compact(res2_mask, caps.max_residual, src_d)
-    table = build_source_table(r1_pts, r1_valid, params, caps)
-    fv = jax.vmap(lambda T: fine_verify(T, table, r2_pts, r2_valid, params, caps))
-    fscore_flat = fv(top_T.reshape(3 * K, 4, 4))
-    fscore = jnp.where(top_valid, fscore_flat.reshape(3, K), 0.0)
+    with jax.named_scope("fine_verify"):
+        _, _, r1_valid, r1_pts = compact(res1_mask, caps.max_residual, res1_pts)
+        _, _, r2_valid, r2_pts = compact(res2_mask, caps.max_residual, res2_pts)
+        table = build_source_table(r1_pts, r1_valid, params, caps)
+        fv = jax.vmap(
+            lambda T: fine_verify(T, table, r2_pts, r2_valid, params, caps)
+        )
+        fscore_flat = fv(top_T.reshape(3 * K, 4, 4))
+        fscore = jnp.where(top_valid, fscore_flat.reshape(3, K), 0.0)
 
     # Global score normalization across ALL fine-verified candidates of all
     # types (:1539-1540 accumulate across the type loop), then per-type best

@@ -43,19 +43,31 @@ def _pack_keys(points, mask, res):
 def _unique_counts(keys, cap):
     """Sorted unique keys + counts (fixed capacity, sentinel-padded).
 
-    Scatter-free: the k-th unique key and its run length come from binary
-    searches over the sorted key array (run starts = positions where the
-    0-based unique rank equals k)."""
+    Run boundaries come from unique-index scatters of first/last run
+    positions (jnp.searchsorted lowers to a slow gather-round while loop
+    on TPU)."""
+    n = keys.shape[0]
     s = jnp.sort(keys)
-    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-    first = first & (s != _SENTINEL)
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # 0-based unique rank
-    seg = jnp.where(s != _SENTINEL, jnp.minimum(seg, cap), cap)
-    # run boundaries of each unique value (seg is nondecreasing)
-    bounds = jnp.searchsorted(seg, jnp.arange(cap + 1, dtype=jnp.int32))
-    counts = (bounds[1:] - bounds[:-1]).astype(jnp.float32)
-    start = jnp.minimum(bounds[:-1], s.shape[0] - 1)
-    ukeys = jnp.where(counts > 0, s[start], _SENTINEL)
+    valid = s != _SENTINEL
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & valid
+    last = jnp.concatenate([s[1:] != s[:-1], jnp.ones((1,), bool)]) & valid
+    seg = jnp.minimum(jnp.cumsum(first.astype(jnp.int32)) - 1, cap)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # index cap is out of bounds for the (cap,) buffers -> dropped, keeping
+    # the surviving scatter indices genuinely unique.
+    start = (
+        jnp.full((cap,), -1, jnp.int32)
+        .at[jnp.where(first, seg, cap)]
+        .set(idx, mode="drop", unique_indices=True)
+    )
+    end = (
+        jnp.full((cap,), -2, jnp.int32)
+        .at[jnp.where(last, seg, cap)]
+        .set(idx, mode="drop", unique_indices=True)
+    )
+    occupied = start >= 0
+    counts = jnp.where(occupied, (end - start + 1).astype(jnp.float32), 0.0)
+    ukeys = jnp.where(occupied, s[jnp.maximum(start, 0)], _SENTINEL)
     return ukeys, counts
 
 
@@ -76,28 +88,52 @@ def build_source_table(src_pts, src_mask, params: FCCFParams, caps: Capacities):
 def fine_verify(T, table: SourceTable, tar_pts, tar_mask, params, caps):
     """Score one candidate transform (:785-839). Returns the scalar score.
 
-    Sort-free per candidate: only voxels holding BOTH labels contribute
-    (:830), and those are a subset of the source voxels — so each
-    transformed target point just binary-searches the static source table
-    and a scatter-add accumulates per-source-voxel target counts. Exactly
-    the reference's score, with no per-candidate octree/sort.
+    Join structure: only voxels holding BOTH labels contribute (:830), and
+    those are a subset of the source voxels. The join is ONE stable sort of
+    [source unique keys ++ transformed target keys] — stability puts each
+    run's source entry (carrying its count) first — followed by cummax /
+    cummin segmented propagation. No jnp.searchsorted (which lowers to a
+    while loop of binary-search rounds with full-width gathers: 377 ms/step
+    at these sizes on v5e) and no per-candidate octree/sort of PCL's kind.
     """
     R = T[:3, :3]
     t = T[:3, 3]
     tar_t = tar_pts @ R.T + t
-    keys = _pack_keys(tar_t, tar_mask, params.fine_voxel)
+    keys_t = _pack_keys(tar_t, tar_mask, params.fine_voxel)
 
     Vf = table.keys.shape[0]
-    pos = jnp.minimum(jnp.searchsorted(table.keys, keys), Vf - 1)
-    hit = (table.keys[pos] == keys) & tar_mask
-    tt = jax.ops.segment_sum(
-        hit.astype(jnp.float32), jnp.where(hit, pos, Vf), num_segments=Vf + 1
-    )[:Vf]
+    M = keys_t.shape[0]
+    n = Vf + M
+    keys = jnp.concatenate([table.keys, keys_t])
+    is_src = (jnp.arange(n) < Vf).astype(jnp.int8)
+    vals = jnp.concatenate([table.counts, jnp.ones((M,), jnp.float32)])
 
-    s = table.counts
-    both = (s >= 1.0) & (tt >= 1.0)
-    mn = jnp.minimum(s, tt)
-    mx = jnp.maximum(s, tt)
-    similar = jnp.sum(jnp.where(both, (s + tt) * mn / jnp.maximum(mx, 1.0), 0.0))
+    # stable co-sort: sources precede targets within each key run, and the
+    # payloads ride the sorting network (post-hoc permutation gathers of
+    # these arrays measured ~180 ms/step on v5e).
+    k_s, src8, val_s = jax.lax.sort(
+        (keys, is_src, vals), num_keys=1, is_stable=True
+    )
+    src_s = src8 > 0
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start_flag = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
+    nxt = jax.lax.cummin(
+        jnp.where(start_flag, pos, jnp.int32(n)), reverse=True
+    )
+    nxt = jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)])
+
+    # Evaluate each run once, AT its start position — where the run's source
+    # entry (if any) sits, so everything is elementwise (no gathers).
+    has_src = start_flag & src_s  # run begins with a source entry
+    s_cnt = jnp.where(has_src, val_s, 0.0)
+    run_len = (nxt - pos).astype(jnp.float32)  # valid at start positions
+    t_cnt = run_len - has_src.astype(jnp.float32)
+    live = start_flag & has_src & (t_cnt >= 1.0) & (k_s != _SENTINEL)
+    mn = jnp.minimum(s_cnt, t_cnt)
+    mx = jnp.maximum(s_cnt, t_cnt)
+    similar = jnp.sum(
+        jnp.where(live, (s_cnt + t_cnt) * mn / jnp.maximum(mx, 1.0), 0.0)
+    )
     total = table.n_src + jnp.sum(tar_mask.astype(jnp.float32))
     return similar / jnp.maximum(total, 1.0)

@@ -6,12 +6,13 @@ import jax
 import jax.numpy as jnp
 
 from fccf_pcr_tpu.cluster.cluster import (
-    _cluster_stats,
+    _XHAT,
+    _YHAT,
     _emit_representatives,
-    _greedy_seeds,
-    geometric_adjacency,
+    _greedy_seeds_all_types,
 )
-from fccf_pcr_tpu.config import FCCFParams
+from fccf_pcr_tpu.config import TEST_CAPS, FCCFParams
+from fccf_pcr_tpu.ops import geometry
 
 
 def _np_greedy(mask, quat, t, dist_thresh, angle_thresh):
@@ -57,6 +58,7 @@ def _rand_hyps(rng, H, n_valid):
     axes /= np.linalg.norm(axes, axis=1, keepdims=True)
     angs = rng.uniform(0.2, 1.0, 4)
     quat = np.zeros((H, 4))
+    quat[:, 0] = 1.0
     t = np.zeros((H, 3))
     for i in range(n_valid):
         m = rng.integers(0, 4)
@@ -68,62 +70,66 @@ def _rand_hyps(rng, H, n_valid):
     return mask, quat.astype(np.float32), t.astype(np.float32)
 
 
-def test_greedy_cluster_matches_reference_semantics():
+def test_greedy_seeds_and_stats_match_reference_semantics():
     rng = np.random.default_rng(0)
-    H = 64
-    mask, quat, t = _rand_hyps(rng, H, 50)
+    H = 512  # must be a multiple of the seed block (or smaller than it)
+    mask, quat, t = _rand_hyps(rng, H, 400)
     params = FCCFParams()
 
     @jax.jit
     def run(m, q, tt):
-        adj, px, py = geometric_adjacency(q, tt, params)
-        is_seed = _greedy_seeds(adj, m, max_iters=m.shape[0])
-        size, tsum, xsum, ysum = _cluster_stats(adj, m, tt, px, py)
-        return is_seed, size, tsum, xsum, ysum
+        px = geometry.quat_rotate(q, jnp.broadcast_to(_XHAT, (H, 3)))
+        py = geometry.quat_rotate(q, jnp.broadcast_to(_YHAT, (H, 3)))
+        return _greedy_seeds_all_types(m[None, :], tt, px, py, params)
 
-    is_seed, size, tsum, xsum, ysum = run(
-        jnp.asarray(mask), jnp.asarray(quat), jnp.asarray(t)
-    )
+    seeds3, size3, sums3 = run(jnp.asarray(mask), jnp.asarray(quat), jnp.asarray(t))
+    seeds = np.asarray(seeds3[0])
+    size = np.asarray(size3[0])
+    sums = np.asarray(sums3[0])
 
     golden = _np_greedy(mask, quat, t, params.cluster_dist, params.cluster_angle)
-    got_seeds = set(np.flatnonzero(np.asarray(is_seed)))
+    got_seeds = set(np.flatnonzero(seeds))
     assert got_seeds == set(golden.keys())
     for s, members in golden.items():
-        assert int(np.asarray(size)[s]) == len(members)
-        np.testing.assert_allclose(
-            np.asarray(tsum)[s], t[members].sum(0), atol=1e-4
-        )
+        assert int(size[s]) == len(members)
+        np.testing.assert_allclose(sums[s, :3], t[members].sum(0), atol=1e-3)
+
+
+def _emit(is_seed_slots, sizes_slots, cluster_num):
+    """Helper: run emission from per-slot seed stats (compacted first)."""
+    from fccf_pcr_tpu.ops.voxelize import compact
+
+    H = len(is_seed_slots)
+    caps = TEST_CAPS
+    sums = np.zeros((H, 9), np.float32)
+    sums[:, 3] = sizes_slots  # xsum ~ size * x_hat
+    sums[:, 7] = sizes_slots  # ysum ~ size * y_hat
+    sums[:, 0] = np.arange(H)  # distinguishable mean t
+    _, _, seed_valid, s_size, s_sums = compact(
+        jnp.asarray(is_seed_slots),
+        caps.max_clusters,
+        jnp.asarray(sizes_slots, jnp.float32),
+        jnp.asarray(sums),
+    )
+    return jax.jit(
+        lambda v, sz, sm: _emit_representatives(v, sz, sm, float(cluster_num), caps)
+    )(seed_valid, s_size, s_sums)
 
 
 def test_emission_floor_walk():
-    # sizes: [10, 10, 5, 4, 1]; cluster_num = 6 -> floor walk emits the two
-    # 10s; then 5 < 10 and emitted(2) < 3 -> floor 9; 4 < 9, emitted < 3 ->
-    # floor 8; 1 < 8 -> floor 7 ... seeds exhausted.
+    # sizes: [10, 10, 5, 4, 1]; cluster_num = 6 -> the two 10s emit; then
+    # 5 < 10 with emitted(2) < 3 decrements the floor per skip until seeds
+    # run out.
     H = 16
     is_seed = np.zeros(H, bool)
     sizes = np.zeros(H, np.float32)
     for slot, s in zip([0, 3, 5, 8, 9], [10, 10, 5, 4, 1]):
         is_seed[slot] = True
         sizes[slot] = s
-    tsum = np.tile(np.arange(H, dtype=np.float32)[:, None], (1, 3))
-    xsum = np.tile(np.array([1.0, 0, 0], np.float32), (H, 1)) * sizes[:, None]
-    ysum = np.tile(np.array([0.0, 1, 0], np.float32), (H, 1)) * sizes[:, None]
-
-    from fccf_pcr_tpu.config import TEST_CAPS
-
-    r_valid, r_q, r_t, _ = jax.jit(
-        lambda a, b, c, d, e: _emit_representatives(a, b, c, d, e, 6.0, TEST_CAPS)
-    )(
-        jnp.asarray(is_seed),
-        jnp.asarray(sizes),
-        jnp.asarray(tsum),
-        jnp.asarray(xsum),
-        jnp.asarray(ysum),
-    )
+    r_valid, r_q, r_t, _ = _emit(is_seed, sizes, 6.0)
     assert int(np.asarray(r_valid).sum()) == 2
-    # representatives carry the mean translation of their cluster
-    np.testing.assert_allclose(np.asarray(r_t)[0], tsum[0] / 10, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(r_t)[1], tsum[3] / 10, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_t)[0, 0], 0.0 / 10, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_t)[1, 0], 3.0 / 10, atol=1e-5)
 
 
 def test_emission_stops_after_cluster_num():
@@ -134,16 +140,6 @@ def test_emission_stops_after_cluster_num():
     for slot in range(12):
         is_seed[slot] = True
         sizes[slot] = 7
-    from fccf_pcr_tpu.config import TEST_CAPS
-
-    r_valid, _, _, _ = jax.jit(
-        lambda a, b, c, d, e: _emit_representatives(a, b, c, d, e, 3.0, TEST_CAPS)
-    )(
-        jnp.asarray(is_seed),
-        jnp.asarray(sizes),
-        jnp.zeros((H, 3)),
-        jnp.zeros((H, 3)),
-        jnp.zeros((H, 3)),
-    )
+    r_valid, _, _, _ = _emit(is_seed, sizes, 3.0)
     # break happens after push when size > cluster_num (:1208-1211)
     assert int(np.asarray(r_valid).sum()) == 4

@@ -51,7 +51,9 @@ def test_voxel_stats_counts_and_centroids():
     rng = np.random.default_rng(1)
     pts = rng.uniform(0, 8, (3000, 3)).astype(np.float32)
     mask = np.ones(3000, bool)
-    stats, point_voxel = voxel_stats(jnp.asarray(pts), jnp.asarray(mask), 1.0, 1024)
+    stats, sorted_pts, point_voxel = voxel_stats(
+        jnp.asarray(pts), jnp.asarray(mask), 1.0, 1024
+    )
     keys = np.floor(pts / 1.0).astype(np.int64)
     uniq, inv, cnt = np.unique(keys, axis=0, return_inverse=True, return_counts=True)
     assert int(stats.valid.sum()) == len(uniq)
@@ -62,10 +64,17 @@ def test_voxel_stats_counts_and_centroids():
     np.add.at(want_c, inv, pts.astype(np.float64))
     want_c /= cnt[:, None]
     _assert_clouds_match(got_c, want_c, atol=2e-3)
-    # point_voxel consistency: same cell -> same slot
+    # point_voxel consistency (sorted order): same cell -> same slot,
+    # sorted_pts is a permutation of the input
     pv = np.asarray(point_voxel)
+    sp = np.asarray(sorted_pts)
+    np.testing.assert_array_equal(
+        sp[np.lexsort(sp.T)], pts[np.lexsort(pts.T)]
+    )
+    keys_sorted = np.floor(sp / 1.0).astype(np.int64)
+    uq, inv_s = np.unique(keys_sorted, axis=0, return_inverse=True)
     for cell in range(3):
-        sel = inv == cell
+        sel = inv_s == cell
         assert len(np.unique(pv[sel])) == 1
 
 
