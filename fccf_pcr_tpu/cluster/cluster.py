@@ -51,7 +51,7 @@ from ..ops.voxelize import compact
 _XHAT = jnp.array([1.0, 0.0, 0.0])
 _YHAT = jnp.array([0.0, 1.0, 0.0])
 
-_SEED_BLOCK = 256
+_SEED_BLOCK = 512
 
 
 class Representatives(NamedTuple):

@@ -148,11 +148,10 @@ def voxel_grid_downsample(points, mask, res, out_capacity=None):
     key, _ = _cell_keys(points, mask, res)
     w = mask.astype(points.dtype)
     v = points * w[:, None]
-    k_s, vx, vy, vz, m_s = sort_by_key(
-        key, v[:, 0], v[:, 1], v[:, 2], mask.astype(jnp.int8)
-    )
+    k_s, vx, vy, vz = sort_by_key(key, v[:, 0], v[:, 1], v[:, 2])
+    m_s = k_s != _SENT  # invalid points carry the sentinel key
     seg_id, _ = _run_segments(k_s)
-    seg = jnp.where(m_s > 0, jnp.minimum(seg_id, cap), cap)
+    seg = jnp.where(m_s, jnp.minimum(seg_id, cap), cap)
     sums, cnts = sorted_segment_reduce(
         jnp.stack([vx, vy, vz], axis=-1), seg, cap
     )
@@ -176,12 +175,13 @@ def voxel_stats(points, mask, res, num_voxels):
     """
     V = num_voxels
     key, key_ovf = _cell_keys(points, mask, res)
-    k_s, px, py, pz, m_s = sort_by_key(
-        key, points[:, 0], points[:, 1], points[:, 2], mask.astype(jnp.int8)
+    k_s, px, py, pz = sort_by_key(
+        key, points[:, 0], points[:, 1], points[:, 2]
     )
     pts_s = jnp.stack([px, py, pz], axis=-1)
+    m_s = k_s != _SENT  # invalid points carry the sentinel key
     seg_id, _ = _run_segments(k_s)
-    seg = jnp.where((m_s > 0) & (seg_id < V), seg_id, V)
+    seg = jnp.where(m_s & (seg_id < V), seg_id, V)
 
     w = (seg < V).astype(points.dtype)
     psum, cnt = sorted_segment_reduce(pts_s * w[:, None], seg, V)
@@ -193,7 +193,7 @@ def voxel_stats(points, mask, res, num_voxels):
     covsum, _ = sorted_segment_reduce(outer, seg, V)
     cov = covsum.reshape(V, 3, 3) / jnp.maximum(cntf[:, None, None], 1.0)
 
-    nvalid_seg = jnp.max(jnp.where(m_s > 0, seg_id, -1)) + 1
+    nvalid_seg = jnp.max(jnp.where(m_s, seg_id, -1)) + 1
     overflow = (nvalid_seg > V) | key_ovf
 
     stats = VoxelStats(
