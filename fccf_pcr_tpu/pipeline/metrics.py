@@ -8,8 +8,6 @@ euclidean distance between translations.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..ops import geometry
 
 

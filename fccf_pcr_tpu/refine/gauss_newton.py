@@ -71,8 +71,12 @@ def refine_pairs(n1, p1, n2, p2, w, iters: int = 50):
             geometry.quat_multiply(dq, q), t + delta[3:], n1, p1, n2, p2, w
         ).reshape(-1)
 
-    def step(state, _):
-        q, t, lam = state
+    def cond(state):
+        q, t, lam, it, done = state
+        return ~done & (it < iters)
+
+    def step(state):
+        q, t, lam, it, done = state
         r = local_residual(jnp.zeros(6, p1.dtype), q, t)
         J = jax.jacfwd(local_residual)(jnp.zeros(6, p1.dtype), q, t)
         JtJ = J.T @ J
@@ -84,12 +88,18 @@ def refine_pairs(n1, p1, n2, p2, w, iters: int = 50):
         c_old = jnp.sum(r * r)
         c_new, _ = cost(q_new, t_new)
         accept = c_new < c_old
+        # Ceres-style function_tolerance termination: stop after an accepted
+        # step whose relative cost decrease is below 1e-6 (Ceres default) —
+        # Ceres itself early-stops the same way well before max 50 iters.
+        done = accept & (c_old - c_new <= 1e-6 * jnp.maximum(c_old, 1e-30))
         q = jnp.where(accept, q_new, q)
         t = jnp.where(accept, t_new, t)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10), jnp.minimum(lam * 2.0, 1e8))
-        return (q, t, lam), None
+        return q, t, lam, it + 1, done
 
-    (q, t, _), _ = jax.lax.scan(
-        step, (q0, t0, jnp.asarray(1e-4, p1.dtype)), None, length=iters
+    q, t, _, _, _ = jax.lax.while_loop(
+        cond,
+        step,
+        (q0, t0, jnp.asarray(1e-4, p1.dtype), jnp.int32(0), jnp.bool_(False)),
     )
     return geometry.make_transform(geometry.quat_to_matrix(q), t)
