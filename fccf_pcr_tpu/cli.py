@@ -49,7 +49,7 @@ def main(argv=None):
         prog="fccf",
         description="TPU-native FCCF-PCR point cloud registration",
     )
-    ap.add_argument("source", help="source PLY file")
+    ap.add_argument("source", nargs="?", help="source PLY file")
     ap.add_argument("target", nargs="?", help="target PLY file")
     ap.add_argument("voxel", nargs="?", type=float, default=0.1,
                     help="voxel-grid leaf size in meters (default 0.1)")
@@ -63,6 +63,12 @@ def main(argv=None):
                     help="override any FCCFParams field (e.g. --set "
                          "curvature_threshold=0.08 --set fine_verify_number=6); "
                          "the reference hard-codes these (FCCF.cpp:120-176)")
+    ap.add_argument("--out", default=None, metavar="JSONL",
+                    help="with --batch: stream per-pair records to this file "
+                         "(checkpoint/resume on restart)")
+    ap.add_argument("--native-io", action="store_true",
+                    help="load the scan list with the threaded C++ batch "
+                         "loader (csrc/, falls back to python)")
     args = ap.parse_args(argv)
 
     if args.device == "cpu":
@@ -91,11 +97,34 @@ def main(argv=None):
         print(f"Leaf size : {args.voxel:g}")
 
     scans = args.batch if args.batch else [args.source, args.target]
-    if len(scans) < 2:
-        ap.error("need a source and a target scan")
+    if len(scans) < 2 or any(s is None for s in scans):
+        ap.error("need a source and a target scan (or --batch LIST)")
+
+    if args.batch and args.out:
+        # dataset sweep path: consecutive pairs, streamed JSONL records
+        from .pipeline.sweep import run_sweep
+
+        clouds = [ply.read_ply(p) for p in scans]
+        pairs = [(clouds[i], clouds[i + 1]) for i in range(len(clouds) - 1)]
+        records, summary = run_sweep(
+            pairs, params, caps, batch_size=min(8, len(pairs)),
+            out_path=args.out,
+        )
+        print(json.dumps({"summary": summary, "out": args.out}))
+        return 0
 
     t_load0 = time.time()
-    clouds = [ply.read_ply(p) for p in scans]
+    if args.native_io:
+        from .io.native import native_read_ply_batch
+
+        loaded = native_read_ply_batch(scans, caps.max_points)
+    else:
+        loaded = None
+    if loaded is not None:
+        pts_arr, mask_arr, _ = loaded
+        clouds = [pts_arr[i][mask_arr[i]] for i in range(len(scans))]
+    else:
+        clouds = [ply.read_ply(p) for p in scans]
     t_load = time.time() - t_load0
 
     # First (CLI-level) downsample, mirroring main() (:1668-1678); the
