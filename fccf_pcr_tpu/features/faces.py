@@ -175,22 +175,34 @@ def _face_stats(labels, valid, count, centroid, normal, V):
 def extract_faces(points, mask, params: FCCFParams, caps: Capacities):
     """points (N,3), mask (N,) -> (Faces, (sorted_pts, residual_mask), ovf).
 
-    The residual pair marks points (in voxel-sorted order) belonging to
-    voxels that passed the point-count gate but failed the curvature gate —
-    the reference's ``cloud_sub`` (FCCF.cpp:527-530), consumed by fine
-    verification (which is order-insensitive).
+    Standalone path: voxelizes ``points`` at ``face_voxel_size`` itself.
+    The pipeline driver uses ``downsample_and_voxelize`` (one fused sort)
+    and calls :func:`faces_from_voxels` directly.
+    """
+    vs, sorted_pts, point_voxel = voxel_stats(
+        points, mask, params.face_voxel_size, caps.max_voxels
+    )
+    return faces_from_voxels(vs, sorted_pts, point_voxel, params, caps)
+
+
+def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps):
+    """Face growth + selection from per-voxel stats.
+
+    ``cloud_pts`` is the (voxel-ordered) cloud with ``point_voxel`` mapping
+    each point to its voxel slot (== V when dropped). The residual pair
+    marks points belonging to voxels that passed the point-count gate but
+    failed the curvature gate — the reference's ``cloud_sub``
+    (FCCF.cpp:527-530), consumed by fine verification (order-insensitive).
     """
     V = caps.max_voxels
     F = caps.max_faces
 
-    total = jnp.sum(mask.astype(points.dtype))
+    cloud_mask = point_voxel < V
+    total = jnp.sum(cloud_mask.astype(cloud_pts.dtype))
     global_centroid = jnp.sum(
-        jnp.where(mask[:, None], points, 0.0), axis=0
+        jnp.where(cloud_mask[:, None], cloud_pts, 0.0), axis=0
     ) / jnp.maximum(total, 1.0)
 
-    vs, sorted_pts, point_voxel = voxel_stats(
-        points, mask, params.face_voxel_size, V
-    )
     normal, curvature = eigen3.plane_fit_from_cov(vs.cov)
 
     enough = vs.count > params.voxel_point_threshold  # strictly > (:486)
@@ -260,10 +272,10 @@ def extract_faces(points, mask, params: FCCFParams, caps: Capacities):
     fl = jnp.minimum(final_label, V - 1)
     ang = jnp.where(vvalid, jnp.abs(geometry.angle_deg(nF[fl], normal)), 0.0)
     onehot = ((fl[:, None] == jnp.arange(V)[None, :]) & vvalid[:, None]).astype(
-        points.dtype
+        cloud_pts.dtype
     )
     asum = ang @ onehot
-    theta = asum / jnp.maximum(vcF.astype(points.dtype), 1.0)
+    theta = asum / jnp.maximum(vcF.astype(cloud_pts.dtype), 1.0)
 
     # Top-16 faces by member-voxel count, desc; ties by slot index asc
     # (range_face :409-427 swaps only on strict <, i.e. stable).
@@ -279,4 +291,4 @@ def extract_faces(points, mask, params: FCCFParams, caps: Capacities):
         theta=jnp.where(fvalid, theta[order], 0.0),
         valid=fvalid,
     )
-    return faces, (sorted_pts, residual_mask), vs.overflow
+    return faces, (cloud_pts, residual_mask), vs.overflow

@@ -241,3 +241,103 @@ def compact(valid, capacity, *payloads):
         mask = out_valid.reshape((capacity,) + (1,) * (g.ndim - 1))
         outs.append(jnp.where(mask, g, jnp.zeros((), p.dtype)))
     return (jnp.minimum(count, capacity), overflow, out_valid, *outs)
+
+
+def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels):
+    """Fused VoxelGrid downsample + feature-voxel statistics: ONE sort.
+
+    The pipeline needs two groupings of the same cloud — leaf cells
+    (``leaf``, FCCF.cpp:1377-1387) whose centroids form the downsampled
+    cloud, and feature voxels (``face_res``, :475-534) over those
+    centroids. When ``face_res`` is an integer multiple of ``leaf`` the
+    leaf grid nests exactly inside the feature grid by construction
+    (face_cell = leaf_cell // ratio), so a single two-key sort
+    (face_key, leaf_within_face) yields both groupings: leaf runs are
+    contiguous inside face runs. This halves the pipeline's sort volume
+    (~90 ms of sort machinery per batch-8 on v5e before fusion).
+
+    Returns (down_pts (N,3), down_mask (N,), stats: VoxelStats,
+    point_voxel (N,)) where down_pts are the leaf centroids in
+    face-voxel-major order and point_voxel maps each downsampled point to
+    its feature-voxel slot (== V for dropped).
+    """
+    n = points.shape[0]
+    V = num_voxels
+    ratio = int(round(face_res / leaf))
+    assert abs(face_res - ratio * leaf) < 1e-9 * max(face_res, 1.0), (
+        "fused voxelization needs face_res to be an integer multiple of "
+        "leaf; use voxel_grid_downsample + voxel_stats otherwise"
+    )
+
+    k = jnp.floor(points / leaf).astype(jnp.int32)
+    fcell = jnp.floor_divide(k, ratio)
+    within = k - fcell * ratio  # per-dim in [0, ratio)
+    wkey = (within[..., 2] * ratio + within[..., 1]) * ratio + within[..., 0]
+
+    # pack the face cell like _cell_keys (relative to min occupied cell)
+    masked = jnp.where(mask[:, None], fcell, _SENT)
+    fmin = jnp.min(masked, axis=0)
+    rel = fcell - fmin
+    ovf = jnp.any(mask[:, None] & (rel > jnp.array([_XMAX, _YMAX, _ZMAX])))
+    rel = jnp.clip(rel, 0, jnp.array([_XMAX, _YMAX, _ZMAX]))
+    fkey = (
+        (rel[..., 2] << (_XBITS + _YBITS)) | (rel[..., 1] << _XBITS) | rel[..., 0]
+    )
+    fkey = jnp.where(mask, fkey, _SENT)
+    wkey = jnp.where(mask, wkey, _SENT)
+
+    fk_s, wk_s, px, py, pz = jax.lax.sort(
+        (fkey, wkey, points[:, 0], points[:, 1], points[:, 2]),
+        num_keys=2,
+        is_stable=True,
+    )
+    pts_s = jnp.stack([px, py, pz], axis=-1)
+    m_s = fk_s != _SENT
+
+    # leaf runs: (fkey, wkey) transitions; face runs: fkey transitions
+    leaf_first = jnp.concatenate(
+        [jnp.ones((1,), bool), (fk_s[1:] != fk_s[:-1]) | (wk_s[1:] != wk_s[:-1])]
+    )
+    face_first = jnp.concatenate([jnp.ones((1,), bool), fk_s[1:] != fk_s[:-1]])
+    leaf_seg = jnp.cumsum(leaf_first) - 1
+    leaf_seg = jnp.where(m_s, jnp.minimum(leaf_seg, n), n)
+
+    # per-leaf: centroid + whether this leaf opens a new face voxel
+    w = (leaf_seg < n).astype(points.dtype)
+    vals = jnp.concatenate(
+        [pts_s * w[:, None], (face_first & m_s).astype(points.dtype)[:, None]],
+        axis=-1,
+    )
+    sums, cnts = sorted_segment_reduce(vals, leaf_seg, n)
+    down_mask = cnts > 0
+    down_pts = sums[:, :3] / jnp.maximum(
+        cnts[:, None].astype(points.dtype), 1.0
+    )
+    # feature-voxel segment id per downsampled point (leaf centroid):
+    # cumsum of "this leaf starts a new face voxel"
+    face_of_leaf = jnp.cumsum(sums[:, 3]).astype(jnp.int32) - 1
+    point_voxel = jnp.where(
+        down_mask & (face_of_leaf >= 0) & (face_of_leaf < V),
+        face_of_leaf,
+        V,
+    )
+
+    # feature-voxel stats over the downsampled points (unweighted: each
+    # leaf centroid is one downsampled point, matching the reference's
+    # re-voxelization of the downsampled cloud)
+    wv = (point_voxel < V).astype(points.dtype)
+    psum, cnt = sorted_segment_reduce(down_pts * wv[:, None], point_voxel, V)
+    cntf = cnt.astype(points.dtype)
+    mean = psum / jnp.maximum(cntf[:, None], 1.0)
+    centered = (down_pts - mean[jnp.minimum(point_voxel, V - 1)]) * wv[:, None]
+    outer = (centered[:, :, None] * centered[:, None, :]).reshape(-1, 9)
+    covsum, _ = sorted_segment_reduce(outer, point_voxel, V)
+    cov = covsum.reshape(V, 3, 3) / jnp.maximum(cntf[:, None, None], 1.0)
+
+    n_faces_seen = jnp.max(jnp.where(down_mask, face_of_leaf, -1)) + 1
+    overflow = (n_faces_seen > V) | ovf
+
+    stats = VoxelStats(
+        centroid=mean, cov=cov, count=cnt, valid=cnt > 0, overflow=overflow
+    )
+    return down_pts, down_mask, stats, point_voxel

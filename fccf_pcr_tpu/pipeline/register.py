@@ -33,12 +33,16 @@ import jax.numpy as jnp
 
 from ..cluster.cluster import cluster_hypotheses
 from ..config import Capacities, FCCFParams
-from ..features.faces import extract_faces
+from ..features.faces import extract_faces, faces_from_voxels
 from ..fuse.fuse import fuse_transforms
 from ..hypotheses.bases import select_bases
 from ..hypotheses.transforms import generate_hypotheses
 from ..ops import geometry
-from ..ops.voxelize import compact, voxel_grid_downsample
+from ..ops.voxelize import (
+    compact,
+    downsample_and_voxelize,
+    voxel_grid_downsample,
+)
 from ..verify.fine import build_source_table, fine_verify
 from ..verify.quick import match_faces, refine_transform
 
@@ -90,19 +94,34 @@ def _register_pair_impl(
 ) -> RegistrationResult:
     f32 = src_pts.dtype
 
-    # NaN removal (:1372-1375) + internal downsample (:1377-1387).
+    # NaN removal (:1372-1375) + internal downsample (:1377-1387), fused
+    # with the feature voxelization (one sort per cloud) when the leaf
+    # nests integrally inside the feature voxel — true for all presets.
+    ratio = params.face_voxel_size / params.leaf_size
+    fused = abs(ratio - round(ratio)) < 1e-9 * max(ratio, 1.0)
+
     with jax.named_scope("downsample"):
         src_mask = src_mask & jnp.all(jnp.isfinite(src_pts), axis=-1)
         tar_mask = tar_mask & jnp.all(jnp.isfinite(tar_pts), axis=-1)
         src_pts = jnp.where(src_mask[:, None], src_pts, 0.0)
         tar_pts = jnp.where(tar_mask[:, None], tar_pts, 0.0)
-        tar_d, tar_dm = voxel_grid_downsample(tar_pts, tar_mask, params.leaf_size)
-        src_d, src_dm = voxel_grid_downsample(src_pts, src_mask, params.leaf_size)
 
     # Faces: f1 = target cloud (reference's face_vecter1), f2 = source.
     with jax.named_scope("faces"):
-        f1, (res1_pts, res1_mask), ovf1 = extract_faces(tar_d, tar_dm, params, caps)
-        f2, (res2_pts, res2_mask), ovf2 = extract_faces(src_d, src_dm, params, caps)
+        if fused:
+            def cloud_to_faces(pts, msk):
+                d, dm, vs, pv = downsample_and_voxelize(
+                    pts, msk, params.leaf_size, params.face_voxel_size,
+                    caps.max_voxels,
+                )
+                return faces_from_voxels(vs, d, pv, params, caps)
+        else:
+            def cloud_to_faces(pts, msk):
+                d, dm = voxel_grid_downsample(pts, msk, params.leaf_size)
+                return extract_faces(d, dm, params, caps)
+
+        f1, (res1_pts, res1_mask), ovf1 = cloud_to_faces(tar_pts, tar_mask)
+        f2, (res2_pts, res2_mask), ovf2 = cloud_to_faces(src_pts, src_mask)
 
     with jax.named_scope("hypotheses"):
         b1 = select_bases(f1, params)
