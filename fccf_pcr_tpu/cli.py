@@ -135,7 +135,7 @@ def main(argv=None):
     padded = []
     for c in clouds:
         p, m = pad_points(c, caps.max_points)
-        pd, md = pre(jnp.asarray(p), jnp.asarray(m))
+        pd, md, _ = pre(jnp.asarray(p), jnp.asarray(m))
         padded.append((pd, md))
 
     fn = make_register_fn(params, caps, batched=args.batch is not None)

@@ -51,23 +51,15 @@ class VoxelStats(NamedTuple):
     overflow: jax.Array  # () bool, more voxels than capacity
 
 
-def _cell_keys(points, mask, res):
-    """Single int32 sort key per point; invalid points sort last.
-
-    Cells are absolute-anchored floor(p/res) but re-indexed relative to the
-    cloud's min occupied cell, packed z-major (kz, ky, kx) into one int32 —
-    one sort instead of a two-key lexsort. Extent limit: 2047 x 1023 x 1022
-    cells (204 x 102 x 102 m at a 0.1 m leaf; clouds beyond that clip into
-    border cells and raise the overflow flag).
-    """
-    k = jnp.floor(points / res).astype(jnp.int32)
-    masked = jnp.where(mask[:, None], k, _SENT)
+def _pack_cells(cells, mask):
+    """Pack integer 3-D cell indices into one int32 sort key (z-major,
+    re-indexed relative to the min occupied cell); invalid points get the
+    sentinel and sort last. Extent limit: 2047 x 1023 x 1022 cells; wider
+    clouds clip into border cells and raise the overflow flag."""
+    masked = jnp.where(mask[:, None], cells, _SENT)
     kmin = jnp.min(masked, axis=0)
-    rel = k - kmin
-    ovf = jnp.any(
-        mask[:, None]
-        & (rel > jnp.array([_XMAX, _YMAX, _ZMAX]))
-    )
+    rel = cells - kmin
+    ovf = jnp.any(mask[:, None] & (rel > jnp.array([_XMAX, _YMAX, _ZMAX])))
     rel = jnp.clip(rel, 0, jnp.array([_XMAX, _YMAX, _ZMAX]))
     key = (
         (rel[..., 2] << (_XBITS + _YBITS))
@@ -75,6 +67,12 @@ def _cell_keys(points, mask, res):
         | rel[..., 0]
     )
     return jnp.where(mask, key, _SENT), ovf
+
+
+def _cell_keys(points, mask, res):
+    """Single int32 sort key per point at resolution ``res`` (see
+    ``_pack_cells``); cells are absolute-anchored ``floor(p / res)``."""
+    return _pack_cells(jnp.floor(points / res).astype(jnp.int32), mask)
 
 
 def sort_by_key(key, *payloads):
@@ -145,7 +143,7 @@ def voxel_grid_downsample(points, mask, res, out_capacity=None):
     """
     n = points.shape[0]
     cap = n if out_capacity is None else out_capacity
-    key, _ = _cell_keys(points, mask, res)
+    key, key_ovf = _cell_keys(points, mask, res)
     w = mask.astype(points.dtype)
     v = points * w[:, None]
     k_s, vx, vy, vz = sort_by_key(key, v[:, 0], v[:, 1], v[:, 2])
@@ -156,7 +154,21 @@ def voxel_grid_downsample(points, mask, res, out_capacity=None):
         jnp.stack([vx, vy, vz], axis=-1), seg, cap
     )
     out = sums / jnp.maximum(cnts[:, None].astype(points.dtype), 1.0)
-    return out, cnts > 0
+    return out, cnts > 0, key_ovf
+
+
+def _segment_mean_cov(pts, seg, V):
+    """Two-pass per-segment mean + normalized covariance over a sorted
+    segment-id vector (shared by voxel_stats and downsample_and_voxelize)."""
+    w = (seg < V).astype(pts.dtype)
+    psum, cnt = sorted_segment_reduce(pts * w[:, None], seg, V)
+    cntf = cnt.astype(pts.dtype)
+    mean = psum / jnp.maximum(cntf[:, None], 1.0)
+    centered = (pts - mean[jnp.minimum(seg, V - 1)]) * w[:, None]
+    outer = (centered[:, :, None] * centered[:, None, :]).reshape(-1, 9)
+    covsum, _ = sorted_segment_reduce(outer, seg, V)
+    cov = covsum.reshape(V, 3, 3) / jnp.maximum(cntf[:, None, None], 1.0)
+    return mean, cov, cnt
 
 
 def voxel_stats(points, mask, res, num_voxels):
@@ -183,15 +195,7 @@ def voxel_stats(points, mask, res, num_voxels):
     seg_id, _ = _run_segments(k_s)
     seg = jnp.where(m_s & (seg_id < V), seg_id, V)
 
-    w = (seg < V).astype(points.dtype)
-    psum, cnt = sorted_segment_reduce(pts_s * w[:, None], seg, V)
-    cntf = cnt.astype(points.dtype)
-    mean = psum / jnp.maximum(cntf[:, None], 1.0)
-
-    centered = (pts_s - mean[jnp.minimum(seg, V - 1)]) * w[:, None]
-    outer = (centered[:, :, None] * centered[:, None, :]).reshape(-1, 9)
-    covsum, _ = sorted_segment_reduce(outer, seg, V)
-    cov = covsum.reshape(V, 3, 3) / jnp.maximum(cntf[:, None, None], 1.0)
+    mean, cov, cnt = _segment_mean_cov(pts_s, seg, V)
 
     nvalid_seg = jnp.max(jnp.where(m_s, seg_id, -1)) + 1
     overflow = (nvalid_seg > V) | key_ovf
@@ -273,17 +277,7 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels):
     fcell = jnp.floor_divide(k, ratio)
     within = k - fcell * ratio  # per-dim in [0, ratio)
     wkey = (within[..., 2] * ratio + within[..., 1]) * ratio + within[..., 0]
-
-    # pack the face cell like _cell_keys (relative to min occupied cell)
-    masked = jnp.where(mask[:, None], fcell, _SENT)
-    fmin = jnp.min(masked, axis=0)
-    rel = fcell - fmin
-    ovf = jnp.any(mask[:, None] & (rel > jnp.array([_XMAX, _YMAX, _ZMAX])))
-    rel = jnp.clip(rel, 0, jnp.array([_XMAX, _YMAX, _ZMAX]))
-    fkey = (
-        (rel[..., 2] << (_XBITS + _YBITS)) | (rel[..., 1] << _XBITS) | rel[..., 0]
-    )
-    fkey = jnp.where(mask, fkey, _SENT)
+    fkey, ovf = _pack_cells(fcell, mask)
     wkey = jnp.where(mask, wkey, _SENT)
 
     fk_s, wk_s, px, py, pz = jax.lax.sort(
@@ -325,14 +319,7 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels):
     # feature-voxel stats over the downsampled points (unweighted: each
     # leaf centroid is one downsampled point, matching the reference's
     # re-voxelization of the downsampled cloud)
-    wv = (point_voxel < V).astype(points.dtype)
-    psum, cnt = sorted_segment_reduce(down_pts * wv[:, None], point_voxel, V)
-    cntf = cnt.astype(points.dtype)
-    mean = psum / jnp.maximum(cntf[:, None], 1.0)
-    centered = (down_pts - mean[jnp.minimum(point_voxel, V - 1)]) * wv[:, None]
-    outer = (centered[:, :, None] * centered[:, None, :]).reshape(-1, 9)
-    covsum, _ = sorted_segment_reduce(outer, point_voxel, V)
-    cov = covsum.reshape(V, 3, 3) / jnp.maximum(cntf[:, None, None], 1.0)
+    mean, cov, cnt = _segment_mean_cov(down_pts, point_voxel, V)
 
     n_faces_seen = jnp.max(jnp.where(down_mask, face_of_leaf, -1)) + 1
     overflow = (n_faces_seen > V) | ovf

@@ -117,8 +117,9 @@ def _register_pair_impl(
                 return faces_from_voxels(vs, d, pv, params, caps)
         else:
             def cloud_to_faces(pts, msk):
-                d, dm = voxel_grid_downsample(pts, msk, params.leaf_size)
-                return extract_faces(d, dm, params, caps)
+                d, dm, d_ovf = voxel_grid_downsample(pts, msk, params.leaf_size)
+                faces, residual, f_ovf = extract_faces(d, dm, params, caps)
+                return faces, residual, f_ovf | d_ovf
 
         f1, (res1_pts, res1_mask), ovf1 = cloud_to_faces(tar_pts, tar_mask)
         f2, (res2_pts, res2_mask), ovf2 = cloud_to_faces(src_pts, src_mask)

@@ -33,9 +33,10 @@ def test_downsample_matches_numpy():
     pts = rng.uniform(-5, 5, (2000, 3)).astype(np.float32)
     mask = np.ones(2000, bool)
     mask[1500:] = False  # padding
-    got_p, got_m = voxel_grid_downsample(
+    got_p, got_m, got_ovf = voxel_grid_downsample(
         jnp.asarray(pts), jnp.asarray(mask), 0.5
     )
+    assert not bool(got_ovf)
     got = np.asarray(got_p)[np.asarray(got_m)]
     want = _np_downsample(pts[:1500].astype(np.float64), 0.5)
     assert got.shape == want.shape
@@ -89,3 +90,45 @@ def test_compact_order_and_overflow():
     assert int(count) == 5 and not bool(overflow)
     np.testing.assert_array_equal(np.asarray(out)[:5], [10, 20, 40, 50, 60])
     np.testing.assert_array_equal(np.asarray(out_valid), [1, 1, 1, 1, 1, 0, 0, 0])
+
+
+def test_fused_downsample_and_voxelize_matches_unfused():
+    """downsample_and_voxelize == voxel_grid_downsample + voxel_stats
+    (same cells, counts, and stats up to prefix-scan float noise)."""
+    from fccf_pcr_tpu.ops.voxelize import downsample_and_voxelize
+
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(0, 12, (4000, 3)).astype(np.float32)
+    mask = np.ones(4000, bool)
+    mask[3500:] = False
+    leaf, face = 0.25, 1.0
+    V = 4096
+
+    d_pts, d_mask, stats_f, pv = downsample_and_voxelize(
+        jnp.asarray(pts), jnp.asarray(mask), leaf, face, V
+    )
+    d2, m2, _ = voxel_grid_downsample(jnp.asarray(pts), jnp.asarray(mask), leaf)
+    stats_u, _, _ = voxel_stats(d2, m2, face, V)
+
+    # same downsampled point set
+    got = np.asarray(d_pts)[np.asarray(d_mask)]
+    want = np.asarray(d2)[np.asarray(m2)]
+    assert got.shape == want.shape
+    # 1e-2 tolerance: the two paths accumulate prefix sums in different
+    # orders (face-major vs leaf-major), so single-point cells see the
+    # full prefix-cancellation noise (~eps * sum magnitude).
+    _assert_clouds_match(got, want, atol=1e-2)
+
+    # same voxel occupancy: counts multiset and total match
+    cf = np.sort(np.asarray(stats_f.count)[np.asarray(stats_f.valid)])
+    cu = np.sort(np.asarray(stats_u.count)[np.asarray(stats_u.valid)])
+    np.testing.assert_array_equal(cf, cu)
+
+    # same per-voxel centroids (matched by nearest neighbor)
+    vf = np.asarray(stats_f.centroid)[np.asarray(stats_f.valid)]
+    vu = np.asarray(stats_u.centroid)[np.asarray(stats_u.valid)]
+    _assert_clouds_match(vf, vu, atol=1e-2)
+
+    # point_voxel maps each downsampled point into a valid slot
+    pv = np.asarray(pv)
+    assert (pv[np.asarray(d_mask)] < V).all()
