@@ -14,6 +14,7 @@ batched registration step only (compile excluded, like the reference's
 in-pipeline clock at FCCF.cpp:1681-1685).
 """
 
+import argparse
 import json
 import sys
 import time
@@ -22,35 +23,50 @@ import numpy as np
 
 BASELINE_PAIRS_PER_S = 1.0 / 0.0659  # reference Office time, Table I
 
+# Coverage configurations mirroring BASELINE.json: each entry is
+# (model preset, scene kwargs, pair kwargs). "office" is the headline
+# config the driver records; the others exercise density / overlap /
+# sweep coverage (run with --config NAME or --config all).
+CONFIGS = {
+    "office": dict(
+        model="eth-office",
+        scene=dict(points_per_plane=12000, clutter_points=4000, noise=0.004),
+        pair=dict(),
+    ),
+    "apartment": dict(  # denser indoor: finer leaf, more voxel planes
+        model="eth-apartment",
+        scene=dict(
+            points_per_plane=24000, clutter_points=8000, noise=0.003,
+            room=(9.0, 7.0, 3.0),
+        ),
+        pair=dict(),
+    ),
+    "cross-season": dict(  # low overlap, heavy clutter (Gazebo/Wood proxy)
+        model="eth-outdoor",
+        scene=dict(points_per_plane=9000, clutter_points=12000, noise=0.01),
+        pair=dict(dropout=0.45, max_angle_deg=60.0, max_trans=6.0),
+    ),
+}
 
-def main():
+
+def run_config(name, cfg, emit_json):
     import jax
     import jax.numpy as jnp
 
-    from fccf_pcr_tpu import FCCFParams, make_register_fn, registration_errors
-    from fccf_pcr_tpu.config import Capacities
+    from fccf_pcr_tpu import make_register_fn, registration_errors
     from fccf_pcr_tpu.io import synthetic
+    from fccf_pcr_tpu.models.fccf import get_model
 
     dev = jax.devices()[0]
-    print(f"# device: {dev}", file=sys.stderr)
+    print(f"# [{name}] device: {dev}", file=sys.stderr)
 
     B = 8  # pairs per batched step
-    caps = Capacities(
-        max_points=1 << 17,
-        max_voxels=2048,
-        max_matches=2048,
-        max_hypotheses=8192,
-        max_reps=256,
-        max_residual=1 << 15,
-        max_fine_voxels=1 << 14,
-    )
-    params = FCCFParams(leaf_size=0.1)
+    model = get_model(cfg["model"])
+    params, caps = model.params, model.caps
 
     t0 = time.time()
     pairs = [
-        synthetic.make_pair(
-            seed=s, points_per_plane=12000, clutter_points=4000, noise=0.004
-        )
+        synthetic.make_pair(seed=s, **cfg["scene"], **cfg["pair"])
         for s in range(B)
     ]
     sp = np.stack([synthetic.pad_points(p[0], caps.max_points)[0] for p in pairs])
@@ -94,16 +110,32 @@ def main():
     pairs_per_s = B / dt
     print(f"# steady step: {dt * 1e3:.1f} ms for {B} pairs", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "scan_pairs_registered_per_sec_per_chip",
-                "value": round(pairs_per_s, 3),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
-            }
-        )
+    record = {
+        "metric": "scan_pairs_registered_per_sec_per_chip",
+        "value": round(pairs_per_s, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
+    }
+    if emit_json:
+        print(json.dumps(record))
+    else:
+        print(f"# [{name}] {json.dumps(record)}", file=sys.stderr)
+    return record
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--config", default="office", choices=[*CONFIGS, "all"],
+        help="coverage configuration (default: the headline office config)",
     )
+    args = ap.parse_args()
+    if args.config == "all":
+        for name, cfg in CONFIGS.items():
+            run_config(name, cfg, emit_json=(name == "office"))
+    else:
+        run_config(args.config, CONFIGS[args.config],
+                   emit_json=(args.config == "office"))
 
 
 if __name__ == "__main__":

@@ -76,6 +76,13 @@ class FCCFParams:
     use_pallas: bool = True
     # Type-gate in the final fusion (:1601).
     fuse_gate: float = 0.8
+    # Optional rotation-consistency gate for fusion (degrees; 0 = off =
+    # reference-faithful). The reference blindly averages all kept types'
+    # rotations (FCCF.cpp:1599-1606); on near-symmetric scenes a flipped
+    # candidate that clears the 0.8 score gate corrupts the average. With
+    # this gate > 0, kept types must also agree with the best type's
+    # rotation within the threshold.
+    fuse_rotation_gate_deg: float = 0.0
 
     def replace(self, **kw) -> "FCCFParams":
         return dataclasses.replace(self, **kw)

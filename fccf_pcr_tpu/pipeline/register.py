@@ -188,6 +188,14 @@ def _register_pair_impl(
 
     # 0.8 gate (:1600-1605) + weighted fusion (:1606).
     keep = best_score > params.fuse_gate * best_best
+    if params.fuse_rotation_gate_deg > 0:
+        # opt-in robustness gate (see FCCFParams.fuse_rotation_gate_deg):
+        # kept types must agree with the best type's rotation.
+        best_type = jnp.argmax(best_score)
+        rel = geometry.rotation_error_deg(
+            best_T[:, :3, :3], best_T[best_type, :3, :3][None]
+        )
+        keep = keep & (rel < params.fuse_rotation_gate_deg)
     quats = geometry.matrix_to_quat(best_T[:, :3, :3])
     T = fuse_transforms(quats, best_T[:, :3, 3], best_score, keep)
 
