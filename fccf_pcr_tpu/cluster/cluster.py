@@ -60,6 +60,7 @@ class Representatives(NamedTuple):
     quat: jax.Array   # (3, C, 4)
     t: jax.Array      # (3, C, 3)
     valid: jax.Array  # (3, C) bool
+    overflow: jax.Array  # () bool, any type's seed/rep capacity exceeded
 
 
 def _ball_rows(t_rows, px_rows, t, px, params):
@@ -151,7 +152,8 @@ def _greedy_seeds_all_types(masks, t, px, py, params):
 
 def _emit_representatives(seed_valid, size, sums, cluster_num, caps):
     """Sorted emission with the adaptive floor walk (:1122-1229) over the
-    compacted seed clusters (already in hypothesis order)."""
+    selected seed clusters (size desc, hypothesis-order tie-break; the
+    lexsort here is then a stable no-op kept as a guard)."""
     W = seed_valid.shape[0]
     key = jnp.where(seed_valid, size, -1.0)
     order = jnp.lexsort((jnp.arange(W), -key))
@@ -209,10 +211,18 @@ def _cluster_one_type(
     small_q = jnp.where(count == 0, id_q, p_q)
     small_t = jnp.where(count == 0, id_t, p_t)
 
-    # Branch 2: compact the seeds (with their stats) + emission.
-    _, w_overflow, seed_valid, size, sums = compact(
-        is_seed, W, size_all, sums_all
-    )
+    # Branch 2: keep the top-W seed clusters BY SIZE (ties keep hypothesis
+    # order — lax.top_k returns equal values lowest-index-first), matching
+    # the emission walk's own sort order, so truncation drops the smallest
+    # clusters. A dropped seed only matters if it could have been emitted,
+    # which requires size >= 2 (the adaptive floor walk stops below 2), so
+    # overflow fires only when an emittable seed is dropped.
+    key = jnp.where(is_seed, size_all, -1.0)
+    top_size, top_idx = jax.lax.top_k(key, min(W, key.shape[0]))
+    seed_valid = top_size > 0.0
+    size = jnp.where(seed_valid, top_size, 0.0)
+    sums = sums_all[top_idx]
+    w_overflow = jnp.sum((size_all >= 2.0) & is_seed) > W
     g_valid, g_q, g_t, overflow = _emit_representatives(
         seed_valid, size, sums, cluster_num, caps
     )
@@ -247,9 +257,9 @@ def cluster_hypotheses(
         masks, hyp.t, px, py, params
     )
 
-    valid, q, t, _ = jax.vmap(
+    valid, q, t, ovf = jax.vmap(
         lambda m, s, sz, sm, cn: _cluster_one_type(
             m, hyp, s, sz, sm, cn, params, caps
         )
     )(masks, seeds, size_all, sums_all, cluster_nums)
-    return Representatives(quat=q, t=t, valid=valid)
+    return Representatives(quat=q, t=t, valid=valid, overflow=jnp.any(ovf))

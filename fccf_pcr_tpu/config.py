@@ -123,7 +123,10 @@ TEST_CAPS = Capacities(
     max_faces=16,
     max_matches=1024,
     max_hypotheses=2048,
-    max_reps=64,
+    # The adaptive floor walk can emit up to select_cluster_number+1 = 201
+    # representatives per type (FCCF.cpp:1208-1211); anything smaller
+    # truncates the reference semantics (and flags STATUS_REP_OVERFLOW).
+    max_reps=256,
     max_clusters=256,
     max_residual=2048,
     max_fine_voxels=2048,

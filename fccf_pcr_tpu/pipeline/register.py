@@ -52,6 +52,9 @@ STATUS_OK = 0
 STATUS_VOXEL_OVERFLOW = 1
 STATUS_HYPOTHESIS_OVERFLOW = 2
 STATUS_DEGENERATE = 4  # no type scored > 0: identity returned
+STATUS_REP_OVERFLOW = 8       # cluster seed/representative capacity exceeded
+STATUS_RESIDUAL_OVERFLOW = 16  # residual cloud truncated to max_residual
+STATUS_FINE_OVERFLOW = 32      # fine-verify source table > max_fine_voxels
 
 
 class RegistrationResult(NamedTuple):
@@ -159,8 +162,12 @@ def _register_pair_impl(
     # Fine verify: residual clouds (cloud_sub1 = target residual, label 0;
     # cloud_sub2 = source residual, label 1, transformed per candidate).
     with jax.named_scope("fine_verify"):
-        _, _, r1_valid, r1_pts = compact(res1_mask, caps.max_residual, res1_pts)
-        _, _, r2_valid, r2_pts = compact(res2_mask, caps.max_residual, res2_pts)
+        _, r1_ovf, r1_valid, r1_pts = compact(
+            res1_mask, caps.max_residual, res1_pts
+        )
+        _, r2_ovf, r2_valid, r2_pts = compact(
+            res2_mask, caps.max_residual, res2_pts
+        )
         table = build_source_table(r1_pts, r1_valid, params, caps)
         fv = jax.vmap(
             lambda T: fine_verify(T, table, r2_pts, r2_valid, params, caps)
@@ -206,6 +213,9 @@ def _register_pair_impl(
         jnp.where(ovf1 | ovf2, STATUS_VOXEL_OVERFLOW, 0)
         | jnp.where(hyp.overflow, STATUS_HYPOTHESIS_OVERFLOW, 0)
         | jnp.where(degenerate, STATUS_DEGENERATE, 0)
+        | jnp.where(reps.overflow, STATUS_REP_OVERFLOW, 0)
+        | jnp.where(r1_ovf | r2_ovf, STATUS_RESIDUAL_OVERFLOW, 0)
+        | jnp.where(table.overflow, STATUS_FINE_OVERFLOW, 0)
     ).astype(jnp.int32)
 
     return RegistrationResult(

@@ -11,9 +11,10 @@ TPU redesign (no octree, no per-candidate tree build):
     int32 key (11+10+10 bits with wraparound — exact for scenes under
     ~1024 x 512 x 512 m, far beyond the ETH scenes);
   - the *source* cloud never moves across candidates, so its (sorted unique
-    key, count) table is built once; each candidate only sorts its own
-    transformed target keys and joins against the source table with a
-    vectorized binary search (jnp.searchsorted).
+    key, count) table is built once; each candidate stable-sorts
+    [source unique keys ++ its transformed target keys] and propagates run
+    boundaries (no ``jnp.searchsorted`` anywhere — it lowers to a while
+    loop of full-width binary-search gathers on TPU; see ``fine_verify``).
 
 The denominator ``allinvec`` (:829) sums every occupied voxel's points,
 i.e. exactly the total number of fused points.
@@ -43,6 +44,9 @@ def _pack_keys(points, mask, res):
 def _unique_counts(keys, cap):
     """Sorted unique keys + counts (fixed capacity, sentinel-padded).
 
+    Returns (ukeys, counts, overflow): overflow is True when the number of
+    distinct keys exceeds ``cap`` (excess voxels are dropped).
+
     Run boundaries come from unique-index scatters of first/last run
     positions (jnp.searchsorted lowers to a slow gather-round while loop
     on TPU)."""
@@ -51,6 +55,7 @@ def _unique_counts(keys, cap):
     valid = s != _SENTINEL
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & valid
     last = jnp.concatenate([s[1:] != s[:-1], jnp.ones((1,), bool)]) & valid
+    n_unique = jnp.sum(first.astype(jnp.int32))
     seg = jnp.minimum(jnp.cumsum(first.astype(jnp.int32)) - 1, cap)
     idx = jnp.arange(n, dtype=jnp.int32)
     # index cap is out of bounds for the (cap,) buffers -> dropped, keeping
@@ -68,20 +73,24 @@ def _unique_counts(keys, cap):
     occupied = start >= 0
     counts = jnp.where(occupied, (end - start + 1).astype(jnp.float32), 0.0)
     ukeys = jnp.where(occupied, s[jnp.maximum(start, 0)], _SENTINEL)
-    return ukeys, counts
+    return ukeys, counts, n_unique > cap
 
 
 class SourceTable(NamedTuple):
     keys: jax.Array    # (Vf,) sorted unique voxel keys (sentinel padded)
     counts: jax.Array  # (Vf,) float counts
     n_src: jax.Array   # () total source residual points
+    overflow: jax.Array  # () bool, > max_fine_voxels distinct cells (dropped)
 
 
 def build_source_table(src_pts, src_mask, params: FCCFParams, caps: Capacities):
     keys = _pack_keys(src_pts, src_mask, params.fine_voxel)
-    ukeys, counts = _unique_counts(keys, caps.max_fine_voxels)
+    ukeys, counts, overflow = _unique_counts(keys, caps.max_fine_voxels)
     return SourceTable(
-        keys=ukeys, counts=counts, n_src=jnp.sum(src_mask.astype(jnp.float32))
+        keys=ukeys,
+        counts=counts,
+        n_src=jnp.sum(src_mask.astype(jnp.float32)),
+        overflow=overflow,
     )
 
 
