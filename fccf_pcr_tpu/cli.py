@@ -71,12 +71,21 @@ def main(argv=None):
                          "loader (csrc/, falls back to python)")
     args = ap.parse_args(argv)
 
-    if args.device == "cpu":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-
     import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif args.device == "tpu":
+        # Fail loudly rather than silently running on whatever backend is
+        # ambient. The container's TPU plugin may register under a custom
+        # platform name, so accept any non-CPU accelerator backend.
+        backend = jax.default_backend()
+        if backend == "cpu":
+            ap.error(
+                "--device tpu requested but only the CPU backend is "
+                f"available (jax.devices()={jax.devices()})"
+            )
+
     import jax.numpy as jnp
 
     from . import FCCFParams, make_register_fn, __version__
@@ -90,7 +99,15 @@ def main(argv=None):
         if not hasattr(params, key):
             ap.error(f"unknown parameter '{key}'")
         field_type = type(getattr(params, key))
-        params = params.replace(**{key: field_type(float(val))})
+        # bool("0") is True and int("0.5") raises; route numerics through
+        # float, everything else through the field's own constructor.
+        if field_type is bool:
+            coerced = val.lower() in ("1", "true", "yes", "on")
+        elif field_type in (int, float):
+            coerced = field_type(float(val))
+        else:
+            coerced = field_type(val)
+        params = params.replace(**{key: coerced})
     caps = _caps_preset(args.caps)
 
     if not args.json:
