@@ -48,6 +48,37 @@ def test_sweep_records_and_resume(params, caps, sweep_pairs, tmp_path):
     assert [r["pair"] for r in records2] == [0, 1, 2]
 
 
+def test_sharded_equals_unsharded_bitwise(params, caps, sweep_pairs):
+    """Mesh-sharded registration must equal the single-device vmap result
+    exactly — a sharding bug that perturbs results within the RRE
+    tolerance would pass the sweep test below, so this asserts the full
+    result pytree, not a derived metric."""
+    import jax
+
+    from fccf_pcr_tpu.parallel.mesh import make_mesh, make_sharded_register_fn
+    from fccf_pcr_tpu.pipeline.register import make_register_fn
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    pairs, _ = sweep_pairs
+    pairs8 = (pairs * 3)[:8]
+    sp = np.stack([synthetic.pad_points(s, caps.max_points)[0] for s, _ in pairs8])
+    sm = np.stack([synthetic.pad_points(s, caps.max_points)[1] for s, _ in pairs8])
+    tp = np.stack([synthetic.pad_points(t, caps.max_points)[0] for _, t in pairs8])
+    tm = np.stack([synthetic.pad_points(t, caps.max_points)[1] for _, t in pairs8])
+
+    mesh = make_mesh()
+    sharded = make_sharded_register_fn(params, caps, mesh)
+    unsharded = make_register_fn(params, caps, batched=True)
+    rs = sharded(sp, sm, tp, tm)
+    ru = unsharded(sp, sm, tp, tm)
+    for name, a, b in zip(rs._fields, rs, ru):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=f"field {name} diverges between sharded and unsharded",
+        )
+
+
 def test_sweep_sharded_over_mesh(params, caps, sweep_pairs):
     """Data-parallel sweep over the 8-virtual-device CPU mesh."""
     import jax
