@@ -92,12 +92,28 @@ def run_config(name, cfg, emit_json):
         synthetic.make_pair(seed=s, **cfg["scene"], **cfg["pair"])
         for s in range(B)
     ]
-    sp = np.stack([synthetic.pad_points(p[0], caps.max_points)[0] for p in pairs])
-    sm = np.stack([synthetic.pad_points(p[0], caps.max_points)[1] for p in pairs])
-    tp = np.stack([synthetic.pad_points(p[1], caps.max_points)[0] for p in pairs])
-    tm = np.stack([synthetic.pad_points(p[1], caps.max_points)[1] for p in pairs])
+    sp = np.stack([synthetic.pad_points(p[0], caps.raw_points)[0] for p in pairs])
+    sm = np.stack([synthetic.pad_points(p[0], caps.raw_points)[1] for p in pairs])
+    tp = np.stack([synthetic.pad_points(p[1], caps.raw_points)[0] for p in pairs])
+    tm = np.stack([synthetic.pad_points(p[1], caps.raw_points)[1] for p in pairs])
     T_gt = np.stack([p[2] for p in pairs])
     print(f"# data gen: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # CLI-level first downsample, OUTSIDE the timed region: the reference's
+    # clock (FCCF.cpp:1681-1685) starts after main's VoxelGrid pass
+    # (:1668-1678); the timed pipeline still re-downsamples internally
+    # (:1377-1387), exactly like the reference.
+    from fccf_pcr_tpu.pipeline.register import pre_downsample
+
+    pre = jax.jit(jax.vmap(
+        lambda p, m: pre_downsample(p, m, params, caps)[:2]
+    ))
+    t0 = time.time()
+    sp, sm = pre(sp, sm)
+    tp, tm = pre(tp, tm)
+    jax.block_until_ready((sp, sm, tp, tm))
+    print(f"# pre-downsample (untimed, as in reference main): "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
 
     fn = make_register_fn(params, caps, batched=True)
 

@@ -91,7 +91,7 @@ def main(argv=None):
     from . import FCCFParams, make_register_fn, __version__
     from .io import ply
     from .io.synthetic import pad_points
-    from .ops.voxelize import voxel_grid_downsample
+    from .pipeline.register import pre_downsample
 
     params = FCCFParams(leaf_size=args.voxel)
     for ov in args.overrides:
@@ -134,7 +134,7 @@ def main(argv=None):
     if args.native_io:
         from .io.native import native_read_ply_batch
 
-        loaded = native_read_ply_batch(scans, caps.max_points)
+        loaded = native_read_ply_batch(scans, caps.raw_points)
     else:
         loaded = None
     if loaded is not None:
@@ -145,14 +145,13 @@ def main(argv=None):
     t_load = time.time() - t_load0
 
     # First (CLI-level) downsample, mirroring main() (:1668-1678); the
-    # pipeline performs the second, internal downsample itself.
-    pre = jax.jit(
-        lambda p, m: voxel_grid_downsample(p, m, params.leaf_size)
-    )
+    # pipeline performs the second, internal downsample itself. Raw clouds
+    # load at caps.raw_points and compact to the hot pipeline's max_points.
+    pre = jax.jit(lambda p, m: pre_downsample(p, m, params, caps)[:2])
     padded = []
     for c in clouds:
-        p, m = pad_points(c, caps.max_points)
-        pd, md, _ = pre(jnp.asarray(p), jnp.asarray(m))
+        p, m = pad_points(c, caps.raw_points)
+        pd, md = pre(jnp.asarray(p), jnp.asarray(m))
         padded.append((pd, md))
 
     fn = make_register_fn(params, caps, batched=args.batch is not None)

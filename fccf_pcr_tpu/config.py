@@ -97,7 +97,7 @@ class Capacities:
     latest entries are dropped and a status flag is raised.
     """
 
-    max_points: int = 1 << 18     # points per cloud after downsample
+    max_points: int = 1 << 18     # points per cloud entering register_pair
     max_voxels: int = 4096        # occupied 1m feature voxels per cloud
     max_faces: int = 16           # top-15(+1) faces kept (:655-675)
     max_matches: int = 2048       # compatible (base1, base2) pairs
@@ -106,6 +106,15 @@ class Capacities:
     max_clusters: int = 2048      # sorted seed clusters walked during emission
     max_residual: int = 1 << 16   # residual (non-planar) points kept per cloud
     max_fine_voxels: int = 1 << 15  # occupied 0.5m voxels in fine verify
+    # Raw-load capacity for the CLI-level pre-downsample (FCCF.cpp:1668-1678,
+    # which runs OUTSIDE the reference's timed region :1681-1685). 0 means
+    # "same as max_points". Presets size max_points to the post-downsample
+    # content so the hot pipeline never pays for raw-cloud padding.
+    max_raw_points: int = 0
+
+    @property
+    def raw_points(self) -> int:
+        return self.max_raw_points or self.max_points
 
     @property
     def max_bases(self) -> int:

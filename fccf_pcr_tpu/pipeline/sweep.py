@@ -61,7 +61,7 @@ def run_sweep(
                     done[rec["pair"]] = rec
     from ..io.synthetic import pad_points
     from ..pipeline.metrics import registration_errors
-    from ..pipeline.register import make_register_fn
+    from ..pipeline.register import make_register_fn, pre_downsample
 
     devices = jax.devices()
     mesh = None
@@ -72,6 +72,11 @@ def run_sweep(
         fn = make_sharded_register_fn(params, caps, mesh)
     else:
         fn = make_register_fn(params, caps, batched=True)
+
+    # CLI-level first downsample (FCCF.cpp:1668-1678), raw-capacity in,
+    # hot-pipeline capacity out (see register.pre_downsample). Built once:
+    # a per-chunk lambda would recompile every batch.
+    pre = jax.jit(jax.vmap(lambda p, m: pre_downsample(p, m, params, caps)[:2]))
 
     records = list(done.values())
     total_time = 0.0
@@ -86,10 +91,12 @@ def run_sweep(
         sp, sm, tp, tm = [], [], [], []
         for i in eff:
             s, t = pairs[i]
-            a, b = pad_points(np.asarray(s, np.float32), caps.max_points)
-            c, d = pad_points(np.asarray(t, np.float32), caps.max_points)
+            a, b = pad_points(np.asarray(s, np.float32), caps.raw_points)
+            c, d = pad_points(np.asarray(t, np.float32), caps.raw_points)
             sp.append(a); sm.append(b); tp.append(c); tm.append(d)
         sp, sm, tp, tm = map(np.stack, (sp, sm, tp, tm))
+        sp, sm = pre(sp, sm)
+        tp, tm = pre(tp, tm)
 
         t0 = time.time()
         res = fn(sp, sm, tp, tm)

@@ -54,23 +54,27 @@ def _unique_counts(keys, cap):
     s = jnp.sort(keys)
     valid = s != _SENTINEL
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & valid
-    last = jnp.concatenate([s[1:] != s[:-1], jnp.ones((1,), bool)]) & valid
     n_unique = jnp.sum(first.astype(jnp.int32))
     seg = jnp.minimum(jnp.cumsum(first.astype(jnp.int32)) - 1, cap)
     idx = jnp.arange(n, dtype=jnp.int32)
-    # index cap is out of bounds for the (cap,) buffers -> dropped, keeping
+    # Run ids are dense-consecutive, so each run ends where the next one
+    # starts: ONE scatter builds the start table, end follows elementwise
+    # (scatters serialize per update row on TPU — every one saved counts).
+    # Index cap is out of bounds for the (cap,) buffer -> dropped, keeping
     # the surviving scatter indices genuinely unique.
     start = (
         jnp.full((cap,), -1, jnp.int32)
         .at[jnp.where(first, seg, cap)]
         .set(idx, mode="drop", unique_indices=True)
     )
-    end = (
-        jnp.full((cap,), -2, jnp.int32)
-        .at[jnp.where(last, seg, cap)]
-        .set(idx, mode="drop", unique_indices=True)
-    )
-    occupied = start >= 0
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    R = jnp.minimum(n_unique, cap)
+    occupied = slot < R
+    # last KEPT run ends at the last element of runs < cap (overflow runs
+    # are parked at seg == cap and excluded)
+    n_valid_kept = jnp.sum((valid & (seg < cap)).astype(jnp.int32))
+    nxt_start = jnp.concatenate([start[1:], jnp.zeros((1,), jnp.int32)])
+    end = jnp.where(slot == R - 1, n_valid_kept - 1, nxt_start - 1)
     counts = jnp.where(occupied, (end - start + 1).astype(jnp.float32), 0.0)
     ukeys = jnp.where(occupied, s[jnp.maximum(start, 0)], _SENTINEL)
     return ukeys, counts, n_unique > cap
