@@ -141,7 +141,9 @@ def main(argv=None):
         pts_arr, mask_arr, _ = loaded
         clouds = [pts_arr[i][mask_arr[i]] for i in range(len(scans))]
     else:
-        clouds = [ply.read_ply(p) for p in scans]
+        from .io.pcd import read_cloud
+
+        clouds = [read_cloud(p) for p in scans]
     t_load = time.time() - t_load0
 
     # First (CLI-level) downsample, mirroring main() (:1668-1678); the
