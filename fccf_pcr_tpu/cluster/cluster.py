@@ -184,15 +184,19 @@ def _emit_representatives(seed_valid, size, sums, cluster_num, caps):
         step, (jnp.int32(0), floor0, jnp.bool_(False)), (s_seed, s_size)
     )
 
-    mean_t = s_sums[:, 0:3] / jnp.maximum(s_size[:, None], 1.0)
-    nt1 = geometry.normalize(s_sums[:, 3:6])
-    nt2 = geometry.normalize(s_sums[:, 6:9])
+    # Compact the raw cluster sums FIRST, then build the representative
+    # pose only for the <=C emitted slots — the Rodrigues/quaternion math
+    # on all W slots measured ~3 ms/step at W=2048 x 3 types x batch 8.
+    C = caps.max_reps
+    _, overflow, r_valid, r_size, r_sums = compact(emit, C, s_size, s_sums)
+    mean_t = r_sums[:, 0:3] / jnp.maximum(r_size[:, None], 1.0)
+    nt1 = geometry.normalize(r_sums[:, 3:6])
+    nt2 = geometry.normalize(r_sums[:, 6:9])
     R = geometry.rotation_from_two_axes(nt1, nt2)
     q = geometry.matrix_to_quat(R)
-
-    C = caps.max_reps
-    _, overflow, r_valid, r_q, r_t = compact(emit, C, q, mean_t)
-    return r_valid, r_q, r_t, overflow
+    q = jnp.where(r_valid[:, None], q, 0.0)
+    mean_t = jnp.where(r_valid[:, None], mean_t, 0.0)
+    return r_valid, q, mean_t, overflow
 
 
 def _cluster_one_type(

@@ -51,36 +51,38 @@ class VoxelStats(NamedTuple):
     overflow: jax.Array  # () bool, more voxels than capacity
 
 
-def _pack_cells(cells, mask):
+def _pack_cells(cells, mask, bits=(_XBITS, _YBITS, _ZBITS)):
     """Pack integer 3-D cell indices into one int32 sort key (z-major,
     re-indexed relative to the min occupied cell); invalid points get the
-    sentinel and sort last. Extent limit: 2047 x 1023 x 1022 cells; wider
-    clouds clip into border cells and raise the overflow flag.
+    sentinel and sort last. Extent limit: 2^bx x 2^by x (2^bz - 2) cells
+    (default 2047 x 1023 x 1022; the top z cell is reserved so a maxed key
+    never collides with the sentinel even with extra low bits appended);
+    wider clouds clip into border cells and raise the overflow flag.
 
-    Returns (key, kmin, ovf); ``_unpack_cells(key, kmin)`` inverts exactly.
+    Returns (key, kmin, ovf); ``_unpack_cells(key, kmin, bits)`` inverts
+    exactly.
     """
+    bx, by, bz = bits
+    lim = jnp.array([(1 << bx) - 1, (1 << by) - 1, (1 << bz) - 2])
     masked = jnp.where(mask[:, None], cells, _SENT)
     kmin = jnp.min(masked, axis=0)
     rel = cells - kmin
-    ovf = jnp.any(mask[:, None] & (rel > jnp.array([_XMAX, _YMAX, _ZMAX])))
-    rel = jnp.clip(rel, 0, jnp.array([_XMAX, _YMAX, _ZMAX]))
-    key = (
-        (rel[..., 2] << (_XBITS + _YBITS))
-        | (rel[..., 1] << _XBITS)
-        | rel[..., 0]
-    )
+    ovf = jnp.any(mask[:, None] & (rel > lim))
+    rel = jnp.clip(rel, 0, lim)
+    key = (rel[..., 2] << (bx + by)) | (rel[..., 1] << bx) | rel[..., 0]
     return jnp.where(mask, key, _SENT), kmin, ovf
 
 
-def _unpack_cells(key, kmin):
+def _unpack_cells(key, kmin, bits=(_XBITS, _YBITS, _ZBITS)):
     """Exact elementwise inverse of ``_pack_cells`` (valid keys only):
     recovers the absolute integer cell from the packed sort key, so the
     per-segment anchor is reconstructible from the sorted key itself —
     no anchor payloads ride the sort and anchor consistency within a
     segment is exact by construction (same key => same cell)."""
-    kx = key & _XMAX
-    ky = (key >> _XBITS) & ((1 << _YBITS) - 1)
-    kz = key >> (_XBITS + _YBITS)
+    bx, by, bz = bits
+    kx = key & ((1 << bx) - 1)
+    ky = (key >> bx) & ((1 << by) - 1)
+    kz = key >> (bx + by)
     return jnp.stack([kx, ky, kz], axis=-1) + kmin
 
 
@@ -343,8 +345,21 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels):
     fcell = jnp.floor_divide(k, ratio)
     within = k - fcell * ratio  # per-dim in [0, ratio)
     wkey = (within[..., 2] * ratio + within[..., 1]) * ratio + within[..., 0]
-    fkey, kmin, ovf = _pack_cells(fcell, mask)
-    wkey = jnp.where(mask, wkey, _SENT)
+
+    # ONE combined int32 sort key: the within-face leaf index rides the low
+    # bits of the face-cell key, so the sort carries a single key operand
+    # (face runs = high-bit transitions, leaf runs = any transition). The
+    # face-cell bit budget is what remains of 31 bits after the leaf index
+    # (ratio^3 values): e.g. leaf 0.1 / face 1.0 -> 10 within bits, 7 bits
+    # per face axis = 127 m extent at 1 m voxels; wider clouds clip into
+    # border cells and flag overflow, like every other capacity.
+    bits_w = max((ratio**3 - 1).bit_length(), 1)
+    bits_f = 31 - bits_w
+    bz = bits_f // 3
+    by = bits_f // 3
+    bx = bits_f - by - bz
+    fkey, kmin, ovf = _pack_cells(fcell, mask, bits=(bx, by, bz))
+    ckey = jnp.where(mask, (fkey << bits_w) | wkey, _SENT)
 
     # Points ride the sort in FACE-CELL-ANCHORED coordinates (p - cell
     # corner, magnitude < face_res): the anchor is per-segment-constant by
@@ -356,25 +371,26 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels):
     )
     p_in = jnp.where(mask[:, None], points - anchor_in, 0.0)
 
-    fk_s, wk_s, px, py, pz = jax.lax.sort(
-        (fkey, wkey, p_in[:, 0], p_in[:, 1], p_in[:, 2]),
-        num_keys=2,
-        is_stable=True,
+    ck_s, px, py, pz = jax.lax.sort(
+        (ckey, p_in[:, 0], p_in[:, 1], p_in[:, 2]), num_keys=1
     )
     pts_s = jnp.stack([px, py, pz], axis=-1)  # anchored coords
-    m_s = fk_s != _SENT
+    m_s = ck_s != _SENT
+    fk_s = ck_s >> bits_w
     anchor_s = jnp.where(
         m_s[:, None],
         (
-            _unpack_cells(jnp.where(m_s, fk_s, 0), kmin).astype(points.dtype)
+            _unpack_cells(
+                jnp.where(m_s, fk_s, 0), kmin, bits=(bx, by, bz)
+            ).astype(points.dtype)
             * face_res
         ),
         0.0,
     )
 
-    # leaf runs: (fkey, wkey) transitions; face runs: fkey transitions
+    # leaf runs: combined-key transitions; face runs: high-bit transitions
     leaf_first = jnp.concatenate(
-        [jnp.ones((1,), bool), (fk_s[1:] != fk_s[:-1]) | (wk_s[1:] != wk_s[:-1])]
+        [jnp.ones((1,), bool), ck_s[1:] != ck_s[:-1]]
     )
     face_first = jnp.concatenate([jnp.ones((1,), bool), fk_s[1:] != fk_s[:-1]])
     leaf_seg = jnp.cumsum(leaf_first) - 1

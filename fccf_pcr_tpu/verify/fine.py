@@ -8,8 +8,9 @@ at 0.5 m, and for every voxel holding both labels add
 TPU redesign (no octree, no per-candidate tree build):
   - residual points are compacted once per pair into fixed-capacity arrays;
   - voxel cells are absolute-anchored ``floor(p / res)`` packed into one
-    int32 key (11+10+10 bits with wraparound — exact for scenes under
-    ~1024 x 512 x 512 m, far beyond the ETH scenes);
+    int32 key (10 bits per axis with wraparound — exact for scenes under
+    ~512 m per axis, far beyond the ETH scenes; the spare low bit carries
+    the source/target label through the join sort);
   - the *source* cloud never moves across candidates, so its (sorted unique
     key, count) table is built once; each candidate stable-sorts
     [source unique keys ++ its transformed target keys] and propagates run
@@ -33,10 +34,14 @@ _SENTINEL = jnp.int32(2**31 - 1)
 
 
 def _pack_keys(points, mask, res):
+    """30-bit packed voxel cell (10 bits/axis with wraparound — exact for
+    scenes under ~512 m at the 0.5 m default; far beyond the ETH scenes).
+    The spare low bit carries the source/target label through the join
+    sort (see fine_verify), saving a payload operand."""
     k = jnp.floor(points / res).astype(jnp.int32)
-    kx = (k[..., 0] + (1 << 20)) & 2047   # 11 bits
+    kx = (k[..., 0] + (1 << 20)) & 1023   # 10 bits
     ky = (k[..., 1] + (1 << 20)) & 1023   # 10 bits
-    kz = (k[..., 2] + (1 << 20)) & 1023   # 10 bits
+    kz = jnp.minimum((k[..., 2] + (1 << 20)) & 1023, 1022)  # avoid sentinel
     key = (kx << 20) | (ky << 10) | kz
     return jnp.where(mask, key, _SENTINEL)
 
@@ -102,12 +107,13 @@ def fine_verify(T, table: SourceTable, tar_pts, tar_mask, params, caps):
     """Score one candidate transform (:785-839). Returns the scalar score.
 
     Join structure: only voxels holding BOTH labels contribute (:830), and
-    those are a subset of the source voxels. The join is ONE stable sort of
-    [source unique keys ++ transformed target keys] — stability puts each
-    run's source entry (carrying its count) first — followed by cummax /
-    cummin segmented propagation. No jnp.searchsorted (which lowers to a
-    while loop of binary-search rounds with full-width gathers: 377 ms/step
-    at these sizes on v5e) and no per-candidate octree/sort of PCL's kind.
+    those are a subset of the source voxels. The join is ONE sort of
+    [source unique keys ++ transformed target keys] with the source/target
+    label packed into the key's low bit (source=0 leads its cell run, so
+    no stable sort and no label payload operand), followed by cummin run
+    propagation. No jnp.searchsorted (which lowers to a while loop of
+    binary-search rounds with full-width gathers: 377 ms/step at these
+    sizes on v5e) and no per-candidate octree/sort of PCL's kind.
     """
     R = T[:3, :3]
     t = T[:3, 3]
@@ -117,20 +123,24 @@ def fine_verify(T, table: SourceTable, tar_pts, tar_mask, params, caps):
     Vf = table.keys.shape[0]
     M = keys_t.shape[0]
     n = Vf + M
-    keys = jnp.concatenate([table.keys, keys_t])
-    is_src = (jnp.arange(n) < Vf).astype(jnp.int8)
+    # The source/target label rides the key's low bit (sources get 0, so
+    # they lead their cell run without needing a stable sort or an is_src
+    # payload operand); cell = key >> 1. Sentinels stay maximal.
+    ks2 = jnp.where(table.keys != _SENTINEL, table.keys << 1, _SENTINEL)
+    kt2 = jnp.where(keys_t != _SENTINEL, (keys_t << 1) | 1, _SENTINEL)
+    keys = jnp.concatenate([ks2, kt2])
     vals = jnp.concatenate([table.counts, jnp.ones((M,), jnp.float32)])
 
-    # stable co-sort: sources precede targets within each key run, and the
-    # payloads ride the sorting network (post-hoc permutation gathers of
-    # these arrays measured ~180 ms/step on v5e).
-    k_s, src8, val_s = jax.lax.sort(
-        (keys, is_src, vals), num_keys=1, is_stable=True
-    )
-    src_s = src8 > 0
+    # co-sort: the count payload rides the sorting network (post-hoc
+    # permutation gathers of these arrays measured ~180 ms/step on v5e).
+    k_s, val_s = jax.lax.sort((keys, vals), num_keys=1)
+    src_s = (k_s & 1) == 0
 
     pos = jnp.arange(n, dtype=jnp.int32)
-    start_flag = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
+    cell = k_s >> 1
+    start_flag = jnp.concatenate(
+        [jnp.ones((1,), bool), cell[1:] != cell[:-1]]
+    )
     nxt = jax.lax.cummin(
         jnp.where(start_flag, pos, jnp.int32(n)), reverse=True
     )
