@@ -49,6 +49,15 @@ def load_library():
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.fccf_ply_read_batch.restype = ctypes.c_int
+        if hasattr(lib, "fccf_pcd_read"):
+            lib.fccf_pcd_read.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.fccf_pcd_read.restype = ctypes.c_int
+            lib.fccf_pcd_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+            lib.fccf_pcd_free.restype = None
         _LIB = lib
     except OSError:
         _LIB = None
@@ -73,6 +82,27 @@ def native_read_ply(path: str):
         return np.array(buf, dtype=np.float32)  # owning copy
     finally:
         lib.fccf_ply_free(out)
+
+
+def native_read_pcd(path: str):
+    """Read a PCD with the native parser (ascii/binary/binary_compressed,
+    C LZF decoder). Returns (N,3) float32 or None if the library is
+    unavailable or the layout needs the Python fallback."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "fccf_pcd_read"):
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    rc = lib.fccf_pcd_read(path.encode(), ctypes.byref(out), ctypes.byref(n))
+    if rc == 1:
+        raise FileNotFoundError(path)
+    if rc != 0:
+        return None  # unsupported layout -> python fallback
+    try:
+        buf = np.ctypeslib.as_array(out, shape=(n.value, 3))
+        return np.array(buf, dtype=np.float32)  # owning copy
+    finally:
+        lib.fccf_pcd_free(out)
 
 
 def native_read_ply_batch(paths, capacity: int, threads: int = 8):

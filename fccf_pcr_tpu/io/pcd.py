@@ -73,8 +73,14 @@ def _lzf_decompress(src: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def read_pcd(path: str) -> np.ndarray:
+def read_pcd(path: str, use_native: bool = True) -> np.ndarray:
     """Read x/y/z from a PCD file -> (N, 3) float32 array."""
+    if use_native:
+        from .native import native_read_pcd
+
+        pts = native_read_pcd(path)
+        if pts is not None:
+            return pts
     with open(path, "rb") as f:
         meta, data_start = _parse_header(f)
         fields = [s.lower() for s in meta["FIELDS"]]

@@ -12,12 +12,24 @@ def cloud():
     return rng.uniform(-20, 20, (257, 3)).astype(np.float32)
 
 
+@pytest.mark.parametrize("use_native", [True, False])
 @pytest.mark.parametrize("binary", [True, False])
-def test_roundtrip(tmp_path, cloud, binary):
+def test_roundtrip(tmp_path, cloud, binary, use_native):
     p = str(tmp_path / "c.pcd")
     pcd.write_pcd(p, cloud, binary=binary)
-    out = pcd.read_pcd(p)
+    out = pcd.read_pcd(p, use_native=use_native)
     np.testing.assert_allclose(out, cloud, atol=1e-5)
+
+
+def test_native_matches_python(tmp_path, cloud):
+    from fccf_pcr_tpu.io.native import native_read_pcd
+
+    p = str(tmp_path / "c.pcd")
+    pcd.write_pcd(p, cloud, binary=True)
+    native = native_read_pcd(p)
+    if native is None:
+        pytest.skip("native library not built")
+    np.testing.assert_array_equal(native, pcd.read_pcd(p, use_native=False))
 
 
 def test_extra_fields_and_order(tmp_path, cloud):
@@ -63,6 +75,9 @@ def test_binary_compressed(tmp_path, cloud):
         f.write(np.array([len(comp), len(blob)], "<u4").tobytes())
         f.write(comp)
     np.testing.assert_allclose(pcd.read_pcd(p), cloud, atol=1e-5)
+    np.testing.assert_allclose(
+        pcd.read_pcd(p, use_native=False), cloud, atol=1e-5
+    )
 
 
 def test_lzf_back_references():
