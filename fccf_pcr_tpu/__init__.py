@@ -7,6 +7,8 @@ coplane-pair correspondence- and fusion-based rigid registration.
 Public API:
     FCCFParams, Capacities          — static configuration
     register_pair, make_register_fn — single/batched registration
+    pre_downsample                  — CLI-level first VoxelGrid pass
+                                      (raw-capacity in, max_points out)
     registration_errors             — RRE/RTE metrics
 """
 
@@ -15,10 +17,11 @@ from .pipeline.metrics import registration_errors
 from .pipeline.register import (
     RegistrationResult,
     make_register_fn,
+    pre_downsample,
     register_pair,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Capacities",
@@ -26,6 +29,7 @@ __all__ = [
     "TEST_CAPS",
     "RegistrationResult",
     "make_register_fn",
+    "pre_downsample",
     "register_pair",
     "registration_errors",
     "__version__",

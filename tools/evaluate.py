@@ -1,0 +1,115 @@
+"""Accuracy evaluation sweep — the framework's analog of the reference's
+published result tables (BASELINE.md Tables I-III).
+
+Registers N seeds per benchmark scene family against known ground truth
+and reports success rate, RRE/RTE mean/median/p95, and throughput, as a
+markdown table (stdout) suitable for docs/EVALUATION.md.
+
+Usage:
+    python tools/evaluate.py [--seeds N] [--configs office,apartment,...]
+    python tools/evaluate.py --device cpu   # force CPU (slow, no TPU)
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def evaluate_config(name, cfg, seeds, batch):
+    import jax
+
+    from fccf_pcr_tpu import make_register_fn, registration_errors
+    from fccf_pcr_tpu.io import synthetic
+    from fccf_pcr_tpu.models.fccf import get_model
+    from fccf_pcr_tpu.pipeline.register import pre_downsample
+
+    model = get_model(cfg["model"])
+    params, caps = model.params, model.caps
+    fn = make_register_fn(params, caps, batched=True)
+    pre = jax.jit(jax.vmap(lambda p, m: pre_downsample(p, m, params, caps)[:2]))
+
+    rres, rtes, statuses = [], [], []
+    t_total, n_timed = 0.0, 0
+    for b0 in range(0, seeds, batch):
+        ss = list(range(b0, min(b0 + batch, seeds)))
+        ss_eff = ss + [ss[-1]] * (batch - len(ss))
+        pairs = [
+            synthetic.make_pair(seed=s, **cfg["scene"], **cfg["pair"])
+            for s in ss_eff
+        ]
+        sp = np.stack([synthetic.pad_points(p[0], caps.raw_points)[0] for p in pairs])
+        sm = np.stack([synthetic.pad_points(p[0], caps.raw_points)[1] for p in pairs])
+        tp = np.stack([synthetic.pad_points(p[1], caps.raw_points)[0] for p in pairs])
+        tm = np.stack([synthetic.pad_points(p[1], caps.raw_points)[1] for p in pairs])
+        spd, smd = pre(sp, sm)
+        tpd, tmd = pre(tp, tm)
+        t0 = time.time()
+        res = fn(spd, smd, tpd, tmd)
+        jax.block_until_ready(res)
+        dt = time.time() - t0
+        if b0 > 0:  # first batch pays the compile
+            t_total += dt
+            n_timed += len(ss)
+        T_gt = np.stack([p[2] for p in pairs])
+        rre, rte = registration_errors(res.transform, T_gt.astype(np.float32))
+        rres.extend(np.asarray(rre)[: len(ss)].tolist())
+        rtes.extend(np.asarray(rte)[: len(ss)].tolist())
+        statuses.extend(np.asarray(res.status)[: len(ss)].tolist())
+
+    rres, rtes = np.array(rres), np.array(rtes)
+    ok = (rres < 2.0) & (rtes < 0.5)
+    return {
+        "config": name,
+        "n": seeds,
+        "success": float(ok.mean()),
+        "rre_mean": float(rres[ok].mean()) if ok.any() else float("nan"),
+        "rre_med": float(np.median(rres[ok])) if ok.any() else float("nan"),
+        "rre_p95": float(np.percentile(rres[ok], 95)) if ok.any() else float("nan"),
+        "rte_mean": float(rtes[ok].mean()) if ok.any() else float("nan"),
+        "rte_med": float(np.median(rtes[ok])) if ok.any() else float("nan"),
+        "rte_p95": float(np.percentile(rtes[ok], 95)) if ok.any() else float("nan"),
+        "fail_seeds": [int(i) for i in np.flatnonzero(~ok)],
+        "nonzero_status": int(np.count_nonzero(statuses)),
+        "pairs_per_s": (n_timed / t_total) if t_total > 0 else None,
+    }
+
+
+def main():
+    sys.path.insert(0, ".")
+    import bench
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=40)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--configs", default="office,apartment,cross-season")
+    ap.add_argument("--device", default=None, choices=["cpu"])
+    args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    rows = []
+    for name in args.configs.split(","):
+        r = evaluate_config(name, bench.CONFIGS[name], args.seeds, args.batch)
+        print(f"# {r}", file=sys.stderr)
+        rows.append(r)
+
+    print("| config | pairs | success | RRE mean/med/p95 (deg) | "
+          "RTE mean/med/p95 (m) | pairs/s | flagged |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        pps = f"{r['pairs_per_s']:.1f}" if r["pairs_per_s"] else "—"
+        print(
+            f"| {r['config']} | {r['n']} | {100*r['success']:.0f}%"
+            f"{' (fails: ' + str(r['fail_seeds']) + ')' if r['fail_seeds'] else ''} | "
+            f"{r['rre_mean']:.3f} / {r['rre_med']:.3f} / {r['rre_p95']:.3f} | "
+            f"{r['rte_mean']:.4f} / {r['rte_med']:.4f} / {r['rte_p95']:.4f} | "
+            f"{pps} | {r['nonzero_status']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
