@@ -42,7 +42,7 @@ class FCCFModel:
 # max_raw_points is the raw-load capacity consumed by the untimed
 # CLI-level first VoxelGrid pass (pre_downsample).
 _STANDARD_CAPS = Capacities(      # office: raw<=124k, down<=61k, vox<=1012,
-    max_points=1 << 16,           #         hyp<=1461, res<=18k
+    max_points=1 << 16,           #   hyp<=1461, res<=16.3k, fine<=1133
     max_raw_points=1 << 17,
     max_voxels=1536,
     max_matches=2048,
@@ -50,24 +50,24 @@ _STANDARD_CAPS = Capacities(      # office: raw<=124k, down<=61k, vox<=1012,
     max_reps=256,
     max_clusters=2048,
     max_residual=1 << 15,
-    max_fine_voxels=1 << 14,
+    max_fine_voxels=2048,
 )
 
 _DENSE_CAPS = dataclasses.replace(  # apartment: raw<=248k, down<=122k,
     _STANDARD_CAPS,                 #   vox<=482, hyp>2048 on some scenes
-    max_points=1 << 17,             #   (seed-3 clipped at 2048), res<=57k
-    max_raw_points=1 << 18,
+    max_points=1 << 17,             #   (seed-3 clipped at 2048),
+    max_raw_points=1 << 18,         #   res<=46.5k, fine<=1016
     max_voxels=1024,
     max_hypotheses=4096,
     max_residual=1 << 16,
-    max_fine_voxels=1 << 15,
+    max_fine_voxels=2048,
 )
 
 _OUTDOOR_CAPS = dataclasses.replace(  # cross-season: raw<=102k, down<=57k,
-    _STANDARD_CAPS,                   #   vox<=1023, hyp<=1306, res<=22k
-    max_raw_points=1 << 18,
-    max_residual=1 << 16,
-    max_fine_voxels=1 << 15,
+    _STANDARD_CAPS,                   #   vox<=1023, hyp<=1306, res<=20k,
+    max_raw_points=1 << 18,           #   fine<=1230
+    max_residual=1 << 15,
+    max_fine_voxels=2048,
 )
 
 _LARGE_CAPS = dataclasses.replace(  # building-scale scenes: unmeasured,
@@ -77,6 +77,7 @@ _LARGE_CAPS = dataclasses.replace(  # building-scale scenes: unmeasured,
     max_voxels=8192,
     max_matches=4096,
     max_hypotheses=16384,
+    max_fine_voxels=1 << 15,        # sparse outdoor residuals spread wide
 )
 
 REGISTRY = {
