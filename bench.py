@@ -106,14 +106,21 @@ def run_config(name, cfg, emit_json):
     from fccf_pcr_tpu.pipeline.register import pre_downsample
 
     pre = jax.jit(jax.vmap(
-        lambda p, m: pre_downsample(p, m, params, caps)[:2]
+        lambda p, m: pre_downsample(p, m, params, caps)
     ))
     t0 = time.time()
-    sp, sm = pre(sp, sm)
-    tp, tm = pre(tp, tm)
+    sp, sm, s_ovf = pre(sp, sm)
+    tp, tm, t_ovf = pre(tp, tm)
     jax.block_until_ready((sp, sm, tp, tm))
     print(f"# pre-downsample (untimed, as in reference main): "
           f"{time.time() - t0:.1f}s", file=sys.stderr)
+    # A benchmark run on truncated clouds is not measuring the configured
+    # workload — capacity misconfiguration must fail loudly, not skew the
+    # number (same policy as the accuracy gate).
+    assert not (np.asarray(s_ovf).any() or np.asarray(t_ovf).any()), (
+        f"[{name}] preset max_points={caps.max_points} too small for the "
+        "downsampled benchmark clouds"
+    )
 
     fn = make_register_fn(params, caps, batched=True)
 

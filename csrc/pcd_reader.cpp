@@ -141,6 +141,7 @@ int fccf_pcd_read(const char* path, float** out_xyz, int64_t* out_n) {
       for (size_t i = 1; i < tok.size() && i - 1 < fields.size(); ++i)
         fields[i - 1].count = std::atoi(tok[i].c_str());
     } else if (key == "POINTS") {
+      if (tok.size() < 2) { std::fclose(f); return 2; }
       n = std::atoll(tok[1].c_str());
     } else if (key == "DATA") {
       mode = tok.size() > 1 ? tok[1] : "";

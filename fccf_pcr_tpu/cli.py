@@ -89,7 +89,6 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from . import FCCFParams, make_register_fn, __version__
-    from .io import ply
     from .io.synthetic import pad_points
     from .pipeline.register import pre_downsample
 
@@ -119,9 +118,10 @@ def main(argv=None):
 
     if args.batch and args.out:
         # dataset sweep path: consecutive pairs, streamed JSONL records
+        from .io.pcd import read_cloud
         from .pipeline.sweep import run_sweep
 
-        clouds = [ply.read_ply(p) for p in scans]
+        clouds = [read_cloud(p) for p in scans]
         pairs = [(clouds[i], clouds[i + 1]) for i in range(len(clouds) - 1)]
         records, summary = run_sweep(
             pairs, params, caps, batch_size=min(8, len(pairs)),
@@ -148,12 +148,24 @@ def main(argv=None):
 
     # First (CLI-level) downsample, mirroring main() (:1668-1678); the
     # pipeline performs the second, internal downsample itself. Raw clouds
-    # load at caps.raw_points and compact to the hot pipeline's max_points.
-    pre = jax.jit(lambda p, m: pre_downsample(p, m, params, caps)[:2])
+    # load at caps.raw_points and compact to the hot pipeline's max_points;
+    # truncation at either capacity is surfaced, never silent.
+    pre = jax.jit(lambda p, m: pre_downsample(p, m, params, caps))
     padded = []
-    for c in clouds:
+    pre_overflow = []
+    for k, c in enumerate(clouds):
+        if len(c) > caps.raw_points:
+            print(f"# WARNING: scan {scans[k]} has {len(c)} points; "
+                  f"subsampled to raw capacity {caps.raw_points} "
+                  "(use --caps large)", file=sys.stderr)
+            pre_overflow.append(k)
         p, m = pad_points(c, caps.raw_points)
-        pd, md = pre(jnp.asarray(p), jnp.asarray(m))
+        pd, md, ovf = pre(jnp.asarray(p), jnp.asarray(m))
+        if bool(ovf) and k not in pre_overflow:
+            print(f"# WARNING: scan {scans[k]} overflows max_points="
+                  f"{caps.max_points} after downsampling; truncated "
+                  "(use --caps large)", file=sys.stderr)
+            pre_overflow.append(k)
         padded.append((pd, md))
 
     fn = make_register_fn(params, caps, batched=args.batch is not None)
@@ -182,6 +194,7 @@ def main(argv=None):
             "n_faces": np.asarray(res.n_faces).tolist(),
             "n_hypotheses": np.asarray(res.n_hypotheses).tolist(),
             "status": np.asarray(res.status).tolist(),
+            "preprocess_overflow": pre_overflow,
             "time_load_s": t_load,
             "time_register_s": t_reg,
         }

@@ -111,6 +111,12 @@ class Capacities:
     # "same as max_points". Presets size max_points to the post-downsample
     # content so the hot pipeline never pays for raw-cloud padding.
     max_raw_points: int = 0
+    # Fused voxelization key layout: False = single combined sort key
+    # (fastest; face-cell extent limited to what remains of 31 bits after
+    # the within-face leaf index — e.g. 127 m per axis at leaf 0.1 / face
+    # 1.0). True = separate two-key sort with the full 2047x1023x1022-cell
+    # face extent, for building-scale scenes (resso/heritage presets).
+    wide_extent: bool = False
 
     @property
     def raw_points(self) -> int:

@@ -106,12 +106,20 @@ def read_pcd(path: str, use_native: bool = True) -> np.ndarray:
             return np.atleast_2d(data).astype(np.float32)
 
         np_fields = []
-        for name, size, typ, cnt in zip(fields, sizes, types, counts):
+        for fi, (name, size, typ, cnt) in enumerate(
+            zip(fields, sizes, types, counts)
+        ):
             base = _DTYPES.get((typ, size))
             if base is None:
                 raise ValueError(f"unsupported PCD field type {typ}{size}")
             for k in range(cnt):
-                np_fields.append((f"{name}{k if cnt > 1 else ''}", "<" + base))
+                # PCL pads with multiple fields all named "_"; np.dtype
+                # rejects duplicate names, so non-xyz names get a unique
+                # suffix (only x/y/z are read back).
+                fname = f"{name}{k if cnt > 1 else ''}"
+                if fname not in ("x", "y", "z"):
+                    fname = f"f{fi}_{fname}"
+                np_fields.append((fname, "<" + base))
         dt = np.dtype(np_fields)
 
         if mode == "binary":

@@ -35,12 +35,16 @@ class FCCFModel:
 
 
 # Capacity presets are sized from measured content statistics of the
-# benchmark scene families (see docs/PERFORMANCE.md): every bound carries
-# >= 1.4x headroom over the observed maxima, and the pipeline's overflow
-# status flags guard the margin at runtime. max_points is the
-# POST-pre-downsample capacity (the hot pipeline's sort volume);
-# max_raw_points is the raw-load capacity consumed by the untimed
-# CLI-level first VoxelGrid pass (pre_downsample).
+# benchmark scene families (see docs/PERFORMANCE.md). Stage capacities
+# (voxels/hypotheses/residual/fine) carry >= 1.4x headroom over observed
+# maxima; the point capacities are tighter (~1.07x — they set the hot
+# sort volume directly). EVERY bound is guarded at runtime: stage
+# overflow raises a status bit, and pre_downsample's truncation flag is
+# surfaced by every caller (CLI warning + record field, sweep records,
+# bench/evaluate hard-fail). max_points is the POST-pre-downsample
+# capacity (the hot pipeline's sort volume); max_raw_points is the
+# raw-load capacity consumed by the untimed CLI-level first VoxelGrid
+# pass (pre_downsample).
 _STANDARD_CAPS = Capacities(      # office: raw<=124k, down<=61k, vox<=1012,
     max_points=1 << 16,           #   hyp<=1461, res<=16.3k, fine<=1133
     max_raw_points=1 << 17,
@@ -78,6 +82,7 @@ _LARGE_CAPS = dataclasses.replace(  # building-scale scenes: unmeasured,
     max_matches=4096,
     max_hypotheses=16384,
     max_fine_voxels=1 << 15,        # sparse outdoor residuals spread wide
+    wide_extent=True,               # full 2047-cell face extent (two-key sort)
 )
 
 REGISTRY = {

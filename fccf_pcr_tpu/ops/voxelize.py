@@ -315,7 +315,8 @@ def compact(valid, capacity, *payloads):
     return (jnp.minimum(count, capacity), overflow, out_valid, *outs)
 
 
-def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels):
+def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels,
+                            wide_extent: bool = False):
     """Fused VoxelGrid downsample + feature-voxel statistics: ONE sort.
 
     The pipeline needs two groupings of the same cloud — leaf cells
@@ -346,21 +347,6 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels):
     within = k - fcell * ratio  # per-dim in [0, ratio)
     wkey = (within[..., 2] * ratio + within[..., 1]) * ratio + within[..., 0]
 
-    # ONE combined int32 sort key: the within-face leaf index rides the low
-    # bits of the face-cell key, so the sort carries a single key operand
-    # (face runs = high-bit transitions, leaf runs = any transition). The
-    # face-cell bit budget is what remains of 31 bits after the leaf index
-    # (ratio^3 values): e.g. leaf 0.1 / face 1.0 -> 10 within bits, 7 bits
-    # per face axis = 127 m extent at 1 m voxels; wider clouds clip into
-    # border cells and flag overflow, like every other capacity.
-    bits_w = max((ratio**3 - 1).bit_length(), 1)
-    bits_f = 31 - bits_w
-    bz = bits_f // 3
-    by = bits_f // 3
-    bx = bits_f - by - bz
-    fkey, kmin, ovf = _pack_cells(fcell, mask, bits=(bx, by, bz))
-    ckey = jnp.where(mask, (fkey << bits_w) | wkey, _SENT)
-
     # Points ride the sort in FACE-CELL-ANCHORED coordinates (p - cell
     # corner, magnitude < face_res): the anchor is per-segment-constant by
     # construction (derived from the integer cell that defines the sort
@@ -375,26 +361,56 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels):
     )
     p_in = jnp.where(mask[:, None], points - anchor_in, 0.0)
 
-    ck_s, px, py, pz = jax.lax.sort(
-        (ckey, p_in[:, 0], p_in[:, 1], p_in[:, 2]), num_keys=1
-    )
+    if wide_extent:
+        # Two-key sort: full 2047x1023x1022-cell face extent for
+        # building-scale scenes, at the cost of one extra sort operand.
+        fkey, kmin, ovf = _pack_cells(fcell, mask)
+        wkey_m = jnp.where(mask, wkey, _SENT)
+        fk_s, wk_s, px, py, pz = jax.lax.sort(
+            (fkey, wkey_m, p_in[:, 0], p_in[:, 1], p_in[:, 2]), num_keys=2
+        )
+        m_s = fk_s != _SENT
+        unpack_bits = (_XBITS, _YBITS, _ZBITS)
+        leaf_first = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             (fk_s[1:] != fk_s[:-1]) | (wk_s[1:] != wk_s[:-1])]
+        )
+    else:
+        # ONE combined int32 sort key: the within-face leaf index rides
+        # the low bits of the face-cell key, so the sort carries a single
+        # key operand (face runs = high-bit transitions, leaf runs = any
+        # transition). The face-cell bit budget is what remains of 31 bits
+        # after the leaf index (ratio^3 values): e.g. leaf 0.1 / face 1.0
+        # -> 10 within bits, 7 bits per face axis = 127 m extent at 1 m
+        # voxels; wider clouds clip into border cells and flag overflow,
+        # like every other capacity (set Capacities.wide_extent for more).
+        bits_w = max((ratio**3 - 1).bit_length(), 1)
+        bits_f = 31 - bits_w
+        bz = bits_f // 3
+        by = bits_f // 3
+        bx = bits_f - by - bz
+        fkey, kmin, ovf = _pack_cells(fcell, mask, bits=(bx, by, bz))
+        ckey = jnp.where(mask, (fkey << bits_w) | wkey, _SENT)
+        ck_s, px, py, pz = jax.lax.sort(
+            (ckey, p_in[:, 0], p_in[:, 1], p_in[:, 2]), num_keys=1
+        )
+        m_s = ck_s != _SENT
+        fk_s = ck_s >> bits_w
+        unpack_bits = (bx, by, bz)
+        leaf_first = jnp.concatenate(
+            [jnp.ones((1,), bool), ck_s[1:] != ck_s[:-1]]
+        )
+
     pts_s = jnp.stack([px, py, pz], axis=-1)  # anchored coords
-    m_s = ck_s != _SENT
-    fk_s = ck_s >> bits_w
     anchor_s = jnp.where(
         m_s[:, None],
         (
             _unpack_cells(
-                jnp.where(m_s, fk_s, 0), kmin, bits=(bx, by, bz)
+                jnp.where(m_s, fk_s, 0), kmin, bits=unpack_bits
             ).astype(points.dtype)
             * face_res
         ),
         0.0,
-    )
-
-    # leaf runs: combined-key transitions; face runs: high-bit transitions
-    leaf_first = jnp.concatenate(
-        [jnp.ones((1,), bool), ck_s[1:] != ck_s[:-1]]
     )
     face_first = jnp.concatenate([jnp.ones((1,), bool), fk_s[1:] != fk_s[:-1]])
     leaf_seg = jnp.cumsum(leaf_first) - 1

@@ -115,7 +115,7 @@ def _register_pair_impl(
             def cloud_to_faces(pts, msk):
                 d, dm, vs, pv = downsample_and_voxelize(
                     pts, msk, params.leaf_size, params.face_voxel_size,
-                    caps.max_voxels,
+                    caps.max_voxels, wide_extent=caps.wide_extent,
                 )
                 return faces_from_voxels(vs, d, pv, params, caps)
         else:

@@ -75,8 +75,9 @@ def run_sweep(
 
     # CLI-level first downsample (FCCF.cpp:1668-1678), raw-capacity in,
     # hot-pipeline capacity out (see register.pre_downsample). Built once:
-    # a per-chunk lambda would recompile every batch.
-    pre = jax.jit(jax.vmap(lambda p, m: pre_downsample(p, m, params, caps)[:2]))
+    # a per-chunk lambda would recompile every batch. Truncation at either
+    # capacity is surfaced in the per-pair records, never silent.
+    pre = jax.jit(jax.vmap(lambda p, m: pre_downsample(p, m, params, caps)))
 
     records = list(done.values())
     total_time = 0.0
@@ -89,14 +90,19 @@ def run_sweep(
         pad_to = batch_size
         eff = idxs + [idxs[-1]] * (pad_to - len(idxs))
         sp, sm, tp, tm = [], [], [], []
+        raw_ovf = []
         for i in eff:
             s, t = pairs[i]
+            raw_ovf.append(
+                len(s) > caps.raw_points or len(t) > caps.raw_points
+            )
             a, b = pad_points(np.asarray(s, np.float32), caps.raw_points)
             c, d = pad_points(np.asarray(t, np.float32), caps.raw_points)
             sp.append(a); sm.append(b); tp.append(c); tm.append(d)
         sp, sm, tp, tm = map(np.stack, (sp, sm, tp, tm))
-        sp, sm = pre(sp, sm)
-        tp, tm = pre(tp, tm)
+        sp, sm, s_ovf = pre(sp, sm)
+        tp, tm, t_ovf = pre(tp, tm)
+        pre_ovf = np.asarray(s_ovf) | np.asarray(t_ovf) | np.asarray(raw_ovf)
 
         t0 = time.time()
         res = fn(sp, sm, tp, tm)
@@ -110,6 +116,7 @@ def run_sweep(
         for k, i in enumerate(idxs):
             rec = {
                 "pair": i,
+                "preprocess_overflow": bool(pre_ovf[k]),
                 "transform": T[k].tolist(),
                 "quick_score": np.asarray(res.quick_score[k]).tolist(),
                 "fine_score": np.asarray(res.fine_score[k]).tolist(),

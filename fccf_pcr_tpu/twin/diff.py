@@ -22,8 +22,6 @@ Metrics returned by :func:`face_membership_diff`:
 
 from __future__ import annotations
 
-from itertools import combinations
-
 import numpy as np
 
 from ..config import Capacities, FCCFParams

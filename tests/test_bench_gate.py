@@ -1,11 +1,12 @@
 """The benchmark's headline record must be gated on the accuracy check:
 a fast-but-wrong pipeline may not report a clean pairs/s number."""
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 

@@ -49,6 +49,28 @@ def test_extra_fields_and_order(tmp_path, cloud):
     np.testing.assert_allclose(pcd.read_pcd(p), cloud, atol=1e-5)
 
 
+def test_pcl_padding_fields(tmp_path, cloud):
+    # PCL PointNormal-style layout: multiple padding fields all named "_"
+    n = len(cloud)
+    header = (
+        "VERSION 0.7\nFIELDS x y z _ normal_x _\nSIZE 4 4 4 4 4 4\n"
+        f"TYPE F F F F F F\nCOUNT 1 1 1 1 1 1\nWIDTH {n}\nHEIGHT 1\n"
+        f"POINTS {n}\nDATA binary\n"
+    )
+    pad = np.zeros((n, 1), np.float32)
+    data = np.concatenate([cloud, pad, pad + 7.0, pad], axis=1).astype("<f4")
+    p = str(tmp_path / "c.pcd")
+    with open(p, "wb") as f:
+        f.write(header.encode())
+        f.write(data.tobytes())
+    np.testing.assert_allclose(pcd.read_pcd(p, use_native=False), cloud, atol=1e-5)
+    from fccf_pcr_tpu.io.native import native_read_pcd
+
+    native = native_read_pcd(p)
+    if native is not None:
+        np.testing.assert_allclose(native, cloud, atol=1e-5)
+
+
 def _lzf_compress_literals(data: bytes) -> bytes:
     """Minimal valid LZF stream: literal runs only (ctrl < 32)."""
     out = bytearray()

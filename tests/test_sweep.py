@@ -48,11 +48,12 @@ def test_sweep_records_and_resume(params, caps, sweep_pairs, tmp_path):
     assert [r["pair"] for r in records2] == [0, 1, 2]
 
 
-def test_sharded_equals_unsharded_bitwise(params, caps, sweep_pairs):
-    """Mesh-sharded registration must equal the single-device vmap result
-    exactly — a sharding bug that perturbs results within the RRE
-    tolerance would pass the sweep test below, so this asserts the full
-    result pytree, not a derived metric."""
+def test_sharded_equals_unsharded(params, caps, sweep_pairs):
+    """Mesh-sharded registration must match the single-device vmap result
+    to 1e-5 on EVERY field of the result pytree — a sharding bug that
+    perturbs results within the RRE tolerance would pass the sweep test
+    below. (Not bit-exact by design: batch-1-per-device and batch-8
+    compile to different fusion/layout choices.)"""
     import jax
 
     from fccf_pcr_tpu.parallel.mesh import make_mesh, make_sharded_register_fn

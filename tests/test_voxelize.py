@@ -132,3 +132,47 @@ def test_fused_downsample_and_voxelize_matches_unfused():
     # point_voxel maps each downsampled point into a valid slot
     pv = np.asarray(pv)
     assert (pv[np.asarray(d_mask)] < V).all()
+
+
+def test_wide_extent_matches_single_key():
+    """The two-key wide-extent sort path (building-scale presets) must
+    produce the same voxel structure as the single-key path on a cloud
+    that fits both extents."""
+    from fccf_pcr_tpu.ops.voxelize import downsample_and_voxelize
+
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-9, 9, (3000, 3)).astype(np.float32)
+    mask = np.ones(3000, bool)
+    mask[2800:] = False
+    args = (jnp.asarray(pts), jnp.asarray(mask), 0.25, 1.0, 1024)
+    d1, m1, s1, pv1 = downsample_and_voxelize(*args, wide_extent=False)
+    d2, m2, s2, pv2 = downsample_and_voxelize(*args, wide_extent=True)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_allclose(
+        np.asarray(d1)[np.asarray(m1)], np.asarray(d2)[np.asarray(m2)],
+        atol=1e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(s1.count), np.asarray(s2.count))
+    np.testing.assert_allclose(
+        np.asarray(s1.centroid), np.asarray(s2.centroid), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(pv1), np.asarray(pv2))
+
+
+def test_wide_extent_handles_scene_beyond_single_key_budget():
+    """A cloud wider than the single-key face-cell budget (127 cells per
+    axis at ratio 4... actually 2^9=512 here) must clip+flag on the
+    single-key path but stay clean on the wide-extent path."""
+    from fccf_pcr_tpu.ops.voxelize import downsample_and_voxelize
+
+    rng = np.random.default_rng(12)
+    # ratio 4 -> bits_w 6 -> 25 face bits -> 8/8/9 split -> >=256 cells;
+    # spread x over 600 face cells to exceed any single-key axis budget
+    pts = rng.uniform(0, 1, (2000, 3)).astype(np.float32)
+    pts[:, 0] *= 600.0
+    mask = np.ones(2000, bool)
+    args = (jnp.asarray(pts), jnp.asarray(mask), 0.25, 1.0, 2048)
+    _, _, s_narrow, _ = downsample_and_voxelize(*args, wide_extent=False)
+    _, _, s_wide, _ = downsample_and_voxelize(*args, wide_extent=True)
+    assert bool(s_narrow.overflow)
+    assert not bool(s_wide.overflow)

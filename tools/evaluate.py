@@ -28,7 +28,7 @@ def evaluate_config(name, cfg, seeds, batch):
     model = get_model(cfg["model"])
     params, caps = model.params, model.caps
     fn = make_register_fn(params, caps, batched=True)
-    pre = jax.jit(jax.vmap(lambda p, m: pre_downsample(p, m, params, caps)[:2]))
+    pre = jax.jit(jax.vmap(lambda p, m: pre_downsample(p, m, params, caps)))
 
     rres, rtes, statuses = [], [], []
     t_total, n_timed = 0.0, 0
@@ -43,8 +43,9 @@ def evaluate_config(name, cfg, seeds, batch):
         sm = np.stack([synthetic.pad_points(p[0], caps.raw_points)[1] for p in pairs])
         tp = np.stack([synthetic.pad_points(p[1], caps.raw_points)[0] for p in pairs])
         tm = np.stack([synthetic.pad_points(p[1], caps.raw_points)[1] for p in pairs])
-        spd, smd = pre(sp, sm)
-        tpd, tmd = pre(tp, tm)
+        spd, smd, s_ovf = pre(sp, sm)
+        tpd, tmd, t_ovf = pre(tp, tm)
+        n_pre_ovf = int(np.asarray(s_ovf).sum() + np.asarray(t_ovf).sum())
         t0 = time.time()
         res = fn(spd, smd, tpd, tmd)
         jax.block_until_ready(res)
@@ -56,7 +57,11 @@ def evaluate_config(name, cfg, seeds, batch):
         rre, rte = registration_errors(res.transform, T_gt.astype(np.float32))
         rres.extend(np.asarray(rre)[: len(ss)].tolist())
         rtes.extend(np.asarray(rte)[: len(ss)].tolist())
-        statuses.extend(np.asarray(res.status)[: len(ss)].tolist())
+        # preprocess truncation counts as a flagged pair, like status bits
+        st = np.asarray(res.status)[: len(ss)].copy()
+        if n_pre_ovf:
+            st = st | 1
+        statuses.extend(st.tolist())
 
     rres, rtes = np.array(rres), np.array(rtes)
     ok = (rres < 2.0) & (rtes < 0.5)
