@@ -186,7 +186,7 @@ def extract_faces(points, mask, params: FCCFParams, caps: Capacities):
 
 
 def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps,
-                      with_labels: bool = False):
+                      with_labels: bool = False, voxel_start=None):
     """Face growth + selection from per-voxel stats.
 
     ``cloud_pts`` is the (voxel-ordered) cloud with ``point_voxel`` mapping
@@ -233,9 +233,16 @@ def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps,
     # plain (V,)->(N,) gather costs ~11 ms at N=131k.)
     residual_gate = vs.valid & enough & ~planar
     N = point_voxel.shape[0]
-    start_v = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(vs.count)[:-1]]
-    ).astype(jnp.int32)
+    if voxel_start is not None:
+        # Sparse cloud layout (downsample_and_voxelize): run starts come
+        # from the precomputed table, not from count prefix sums.
+        start_v = voxel_start
+    else:
+        # Packed layout (voxel_stats): voxel runs tile the prefix, so run
+        # k starts at the exclusive cumsum of the per-voxel counts.
+        start_v = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(vs.count)[:-1]]
+        ).astype(jnp.int32)
     marker = (
         jnp.zeros((N,), jnp.int32)
         .at[jnp.where(vs.valid, start_v, N)]

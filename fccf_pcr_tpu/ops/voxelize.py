@@ -158,6 +158,32 @@ def sorted_segment_reduce(values, seg, num_segments):
     return sums, counts
 
 
+def _kth_true_positions(flag, S):
+    """pos[k] = index of the (k+1)-th True in ``flag`` (N,), by vectorized
+    binary search on the inclusive cumsum (monotone).
+
+    Costs S * ceil(log2 N) gathered elements — for the small segment
+    tables (S <= a few thousand) this replaces an N-update-row scatter
+    (scatter cost is bound by UPDATE rows, ~4.9 ms per 1M rows on v5e,
+    regardless of how small the output table is). Slots k >= count return
+    clamped garbage; callers mask by the returned count.
+
+    Returns (pos (S,) int32, count () int32).
+    """
+    n = flag.shape[0]
+    c = jnp.cumsum(flag.astype(jnp.int32))  # inclusive, monotone
+    count = c[-1]
+    target = jnp.arange(1, S + 1, dtype=jnp.int32)
+    lo = jnp.zeros((S,), jnp.int32)
+    hi = jnp.full((S,), n - 1, jnp.int32)
+    for _ in range(max(1, int(n - 1).bit_length())):
+        mid = (lo + hi) >> 1
+        go_hi = c[mid] < target
+        lo = jnp.where(go_hi, mid + 1, lo)
+        hi = jnp.where(go_hi, hi, mid)
+    return jnp.minimum(lo, n - 1), count
+
+
 def voxel_grid_downsample(points, mask, res, out_capacity=None):
     """PCL-VoxelGrid-equivalent: centroid per occupied cell.
 
@@ -330,9 +356,12 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels,
     (~90 ms of sort machinery per batch-8 on v5e before fusion).
 
     Returns (down_pts (N,3), down_mask (N,), stats: VoxelStats,
-    point_voxel (N,)) where down_pts are the leaf centroids in
-    face-voxel-major order and point_voxel maps each downsampled point to
-    its feature-voxel slot (== V for dropped).
+    point_voxel (N,), voxel_start (V,)) where down_pts are the leaf
+    centroids in face-voxel-major order (SPARSE: each centroid sits at its
+    leaf run's last row; address through down_mask), point_voxel maps each
+    downsampled point to its feature-voxel slot (== V for dropped), and
+    voxel_start[k] is the row of voxel k's first down point (== N for
+    unoccupied slots) — consumed by faces_from_voxels' residual gate.
     """
     n = points.shape[0]
     V = num_voxels
@@ -401,59 +430,122 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels,
             [jnp.ones((1,), bool), ck_s[1:] != ck_s[:-1]]
         )
 
+    dt = points.dtype
     pts_s = jnp.stack([px, py, pz], axis=-1)  # anchored coords
     anchor_s = jnp.where(
         m_s[:, None],
         (
             _unpack_cells(
                 jnp.where(m_s, fk_s, 0), kmin, bits=unpack_bits
-            ).astype(points.dtype)
+            ).astype(dt)
             * face_res
         ),
         0.0,
     )
     face_first = jnp.concatenate([jnp.ones((1,), bool), fk_s[1:] != fk_s[:-1]])
-    leaf_seg = jnp.cumsum(leaf_first) - 1
-    leaf_seg = jnp.where(m_s, jnp.minimum(leaf_seg, n), n)
 
-    # per-leaf: anchored centroid + anchor + new-face flag
-    w = (leaf_seg < n).astype(points.dtype)
-    vals = jnp.concatenate(
-        [
-            pts_s * w[:, None],
-            anchor_s * w[:, None],
-            (face_first & m_s).astype(points.dtype)[:, None],
-        ],
-        axis=-1,
+    # ---- leaf reduce, SPARSE layout: each leaf run's stats materialize at
+    # the run's LAST row (the downsampled cloud is mask-addressed, not
+    # prefix-packed). This replaces the former slot-table reduce whose
+    # start-table scatter (N update rows, ~4.9 ms/1M on v5e) and two
+    # (N, 7)-wide boundary gathers dominated the voxelize stage; the sparse
+    # form needs ONE (N, 4) gather and a cummax. Invalid (sentinel-key)
+    # rows sort to the tail, so valid leaf runs tile a prefix contiguously
+    # and run order — hence downstream content order — is unchanged.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    leaf_last = jnp.concatenate([leaf_first[1:], jnp.ones((1,), bool)]) & m_s
+    # start of the current run: markers are strictly increasing positions,
+    # so a running max forward-fills each run's start index (row 0 is
+    # always a run start).
+    start_fill = jax.lax.cummax(jnp.where(leaf_first, idx, 0))
+    w = m_s.astype(dt)
+    ff = (face_first & m_s).astype(dt)
+    vals1 = jnp.concatenate([pts_s * w[:, None], ff[:, None]], axis=-1)
+    ps1 = jnp.cumsum(vals1, axis=0)
+    ps_prev = jnp.where(
+        (start_fill > 0)[:, None], ps1[jnp.maximum(start_fill - 1, 0)], 0.0
     )
-    sums, cnts = sorted_segment_reduce(vals, leaf_seg, n)
-    down_mask = cnts > 0
-    cntf = jnp.maximum(cnts[:, None].astype(points.dtype), 1.0)
-    down_anchored = sums[:, 0:3] / cntf  # leaf centroid, face-cell coords
-    down_anchor = sums[:, 3:6] / cntf    # the (constant) anchor, +-1 ulp
+    run = ps1 - ps_prev  # at row i: column sums over [run start, i]
+    cnt_leaf = jnp.maximum((idx - start_fill + 1).astype(dt), 1.0)
+
+    down_mask = leaf_last
+    down_anchored = jnp.where(
+        down_mask[:, None], run[:, 0:3] / cnt_leaf[:, None], 0.0
+    )
+    down_anchor = jnp.where(down_mask[:, None], anchor_s, 0.0)  # exact corner
     down_pts = down_anchored + down_anchor
-    # feature-voxel segment id per downsampled point (leaf centroid):
-    # cumsum of "this leaf starts a new face voxel"
-    face_of_leaf = jnp.cumsum(sums[:, 6]).astype(jnp.int32) - 1
+    # feature-voxel id of each down point: face starts seen so far, minus 1
+    # (the flag cumsum is exact in f32 below 2^24 rows)
+    face_of_leaf = ps1[:, 3].astype(jnp.int32) - 1
     point_voxel = jnp.where(
         down_mask & (face_of_leaf >= 0) & (face_of_leaf < V),
         face_of_leaf,
         V,
     )
+    # this leaf run contains a face-run start <=> first leaf of its voxel
+    face_first_down = down_mask & (run[:, 3] > 0.5)
 
-    # feature-voxel stats over the downsampled points (unweighted: each
-    # leaf centroid is one downsampled point, matching the reference's
-    # re-voxelization of the downsampled cloud). Leaf centroids of the
-    # same face voxel share the same face-cell anchor, so the anchored
-    # coordinates pass straight through.
-    mean, cov, cnt = _segment_mean_cov(
-        down_anchored, down_anchor, point_voxel, V
+    # ---- feature-voxel stats over the (sparse) down points: per-voxel
+    # sums are prefix-scan differences at voxel boundaries; the boundary
+    # table comes from a V * log2(N) binary search, not an N-row scatter.
+    # Rows between down points contribute exact zeros to the prefix sums,
+    # so the sums are bit-identical to a packed-layout reduce.
+    start_tbl, n_faces_seen = _kth_true_positions(face_first_down, V)
+    slot = jnp.arange(V, dtype=jnp.int32)
+    R = jnp.minimum(n_faces_seen, V)
+    occupied = slot < R
+    p = down_anchored
+    outer6 = jnp.stack(
+        [
+            p[:, 0] * p[:, 0],
+            p[:, 1] * p[:, 1],
+            p[:, 2] * p[:, 2],
+            p[:, 0] * p[:, 1],
+            p[:, 0] * p[:, 2],
+            p[:, 1] * p[:, 2],
+        ],
+        axis=-1,
+    )
+    vals2 = jnp.concatenate(
+        [p, outer6, down_mask.astype(dt)[:, None]], axis=-1
+    )  # (N, 10)
+    ps2 = jnp.cumsum(vals2, axis=0)
+    safe_start = jnp.where(occupied, start_tbl, 0)
+    nxt = jnp.concatenate([start_tbl[1:], jnp.zeros((1,), jnp.int32)])
+    end = jnp.where(slot == R - 1, n - 1, jnp.maximum(nxt - 1, 0))
+    end = jnp.where(occupied, end, 0)
+    ps_end = jnp.where(occupied[:, None], ps2[end], 0.0)
+    ps_st = jnp.where(
+        (occupied & (safe_start > 0))[:, None],
+        ps2[jnp.maximum(safe_start - 1, 0)],
+        0.0,
+    )
+    sums2 = ps_end - ps_st
+    cnt = jnp.where(occupied, sums2[:, 9].astype(jnp.int32), 0)
+    cntf = jnp.maximum(cnt.astype(dt), 1.0)
+    mu = sums2[:, 0:3] / cntf[:, None]
+    # per-voxel anchor: exact cell corner read at the voxel's first down row
+    anchor_face = jnp.where(occupied[:, None], anchor_s[safe_start], 0.0)
+    mean = mu + anchor_face
+    e = sums2[:, 3:9] / cntf[:, None]
+    cxx = e[:, 0] - mu[:, 0] * mu[:, 0]
+    cyy = e[:, 1] - mu[:, 1] * mu[:, 1]
+    czz = e[:, 2] - mu[:, 2] * mu[:, 2]
+    cxy = e[:, 3] - mu[:, 0] * mu[:, 1]
+    cxz = e[:, 4] - mu[:, 0] * mu[:, 2]
+    cyz = e[:, 5] - mu[:, 1] * mu[:, 2]
+    cov = jnp.stack(
+        [
+            jnp.stack([cxx, cxy, cxz], axis=-1),
+            jnp.stack([cxy, cyy, cyz], axis=-1),
+            jnp.stack([cxz, cyz, czz], axis=-1),
+        ],
+        axis=-2,
     )
 
-    n_faces_seen = jnp.max(jnp.where(down_mask, face_of_leaf, -1)) + 1
     overflow = (n_faces_seen > V) | ovf
-
     stats = VoxelStats(
         centroid=mean, cov=cov, count=cnt, valid=cnt > 0, overflow=overflow
     )
-    return down_pts, down_mask, stats, point_voxel
+    voxel_start = jnp.where(occupied, start_tbl, n)
+    return down_pts, down_mask, stats, point_voxel, voxel_start

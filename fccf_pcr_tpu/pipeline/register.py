@@ -113,11 +113,13 @@ def _register_pair_impl(
     with jax.named_scope("faces"):
         if fused:
             def cloud_to_faces(pts, msk):
-                d, dm, vs, pv = downsample_and_voxelize(
+                d, dm, vs, pv, vstart = downsample_and_voxelize(
                     pts, msk, params.leaf_size, params.face_voxel_size,
                     caps.max_voxels, wide_extent=caps.wide_extent,
                 )
-                return faces_from_voxels(vs, d, pv, params, caps)
+                return faces_from_voxels(
+                    vs, d, pv, params, caps, voxel_start=vstart
+                )
         else:
             def cloud_to_faces(pts, msk):
                 d, dm, d_ovf = voxel_grid_downsample(pts, msk, params.leaf_size)

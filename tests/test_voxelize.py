@@ -104,7 +104,7 @@ def test_fused_downsample_and_voxelize_matches_unfused():
     leaf, face = 0.25, 1.0
     V = 4096
 
-    d_pts, d_mask, stats_f, pv = downsample_and_voxelize(
+    d_pts, d_mask, stats_f, pv, vstart = downsample_and_voxelize(
         jnp.asarray(pts), jnp.asarray(mask), leaf, face, V
     )
     d2, m2, _ = voxel_grid_downsample(jnp.asarray(pts), jnp.asarray(mask), leaf)
@@ -145,8 +145,8 @@ def test_wide_extent_matches_single_key():
     mask = np.ones(3000, bool)
     mask[2800:] = False
     args = (jnp.asarray(pts), jnp.asarray(mask), 0.25, 1.0, 1024)
-    d1, m1, s1, pv1 = downsample_and_voxelize(*args, wide_extent=False)
-    d2, m2, s2, pv2 = downsample_and_voxelize(*args, wide_extent=True)
+    d1, m1, s1, pv1, vs1 = downsample_and_voxelize(*args, wide_extent=False)
+    d2, m2, s2, pv2, vs2 = downsample_and_voxelize(*args, wide_extent=True)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_allclose(
         np.asarray(d1)[np.asarray(m1)], np.asarray(d2)[np.asarray(m2)],
@@ -172,7 +172,7 @@ def test_wide_extent_handles_scene_beyond_single_key_budget():
     pts[:, 0] *= 600.0
     mask = np.ones(2000, bool)
     args = (jnp.asarray(pts), jnp.asarray(mask), 0.25, 1.0, 2048)
-    _, _, s_narrow, _ = downsample_and_voxelize(*args, wide_extent=False)
-    _, _, s_wide, _ = downsample_and_voxelize(*args, wide_extent=True)
+    _, _, s_narrow, _, _ = downsample_and_voxelize(*args, wide_extent=False)
+    _, _, s_wide, _, _ = downsample_and_voxelize(*args, wide_extent=True)
     assert bool(s_narrow.overflow)
     assert not bool(s_wide.overflow)
