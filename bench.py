@@ -46,6 +46,23 @@ CONFIGS = {
         scene=dict(points_per_plane=9000, clutter_points=12000, noise=0.01),
         pair=dict(dropout=0.45, max_angle_deg=60.0, max_trans=6.0),
     ),
+    "structured": dict(  # ETH Stairs + Hauptgebaude proxy: one vmap batch
+        model="eth-structured",  # mixing stair flights and building halls
+        scenes=[
+            dict(scene="stairs", points_per_plane=12000,
+                 clutter_points=4000, noise=0.004),
+            dict(scene="hall", points_per_plane=14000,
+                 clutter_points=6000, noise=0.006),
+        ],
+        pair=dict(),
+    ),
+    "sweep": dict(  # full-sequence sweep proxy: consecutive pairs of a
+        model="eth-office",  # drifting scan trajectory, batched 8/step
+        sequence=dict(n_scans=17, step_angle_deg=12.0, step_trans=0.8,
+                      points_per_plane=12000, clutter_points=4000,
+                      noise=0.004),
+        pair=dict(),
+    ),
 }
 
 
@@ -88,16 +105,36 @@ def run_config(name, cfg, emit_json):
     params, caps = model.params, model.caps
 
     t0 = time.time()
-    pairs = [
-        synthetic.make_pair(seed=s, **cfg["scene"], **cfg["pair"])
-        for s in range(B)
-    ]
+    if "sequence" in cfg:
+        # ALL consecutive pairs of one drifting trajectory (BASELINE
+        # config 5): pair k registers scan k against scan k+1, processed
+        # as ceil((n_scans-1)/B) batched steps per timed iteration.
+        scans, T_rel, _ = synthetic.make_sequence(seed=0, **cfg["sequence"])
+        pairs = [
+            (scans[k], scans[k + 1], T_rel[k]) for k in range(len(T_rel))
+        ]
+        pairs = pairs[: (len(pairs) // B) * B]
+    elif "scenes" in cfg:
+        # Mixed scene families round-robined across the batch
+        # (BASELINE config 3: Stairs + Hauptgebaude in one vmap batch).
+        fams = cfg["scenes"]
+        pairs = [
+            synthetic.make_pair(seed=s, **fams[s % len(fams)], **cfg["pair"])
+            for s in range(B)
+        ]
+    else:
+        pairs = [
+            synthetic.make_pair(seed=s, **cfg["scene"], **cfg["pair"])
+            for s in range(B)
+        ]
+    nb = len(pairs) // B  # batched steps per timed iteration (1 except sweep)
     sp = np.stack([synthetic.pad_points(p[0], caps.raw_points)[0] for p in pairs])
     sm = np.stack([synthetic.pad_points(p[0], caps.raw_points)[1] for p in pairs])
     tp = np.stack([synthetic.pad_points(p[1], caps.raw_points)[0] for p in pairs])
     tm = np.stack([synthetic.pad_points(p[1], caps.raw_points)[1] for p in pairs])
     T_gt = np.stack([p[2] for p in pairs])
-    print(f"# data gen: {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"# data gen: {time.time() - t0:.1f}s ({len(pairs)} pairs, "
+          f"{nb} step(s)/iter)", file=sys.stderr)
 
     # CLI-level first downsample, OUTSIDE the timed region: the reference's
     # clock (FCCF.cpp:1681-1685) starts after main's VoxelGrid pass
@@ -127,19 +164,27 @@ def run_config(name, cfg, emit_json):
     # Pin inputs on device: the registration step is timed as a resident
     # pipeline stage (re-uploading 27 MB of inputs per step through the
     # remote-TPU tunnel would otherwise dominate the wall clock).
-    sp, sm, tp, tm = map(jax.device_put, (sp, sm, tp, tm))
+    batches = [
+        tuple(
+            jax.device_put(np.asarray(a[j * B:(j + 1) * B]))
+            for a in (sp, sm, tp, tm)
+        )
+        for j in range(nb)
+    ]
 
     t0 = time.time()
-    res = fn(sp, sm, tp, tm)
-    jax.block_until_ready(res)
+    results = [fn(*b) for b in batches]
+    jax.block_until_ready(results)
     print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    rre, rte = registration_errors(res.transform, jnp.asarray(T_gt))
+    transforms = jnp.concatenate([r.transform for r in results])
+    status = np.concatenate([np.asarray(r.status) for r in results])
+    rre, rte = registration_errors(transforms, jnp.asarray(T_gt))
     rre, rte = np.asarray(rre), np.asarray(rte)
     print(
         f"# accuracy: RRE mean {rre.mean():.4f} deg max {rre.max():.4f}; "
         f"RTE mean {rte.mean():.4f} m max {rte.max():.4f}; "
-        f"status {np.asarray(res.status).tolist()}",
+        f"status {status.tolist()}",
         file=sys.stderr,
     )
     if not bool((rre < 2.0).all() and (rte < 0.3).all()):
@@ -151,11 +196,13 @@ def run_config(name, cfg, emit_json):
     iters = 5
     t0 = time.time()
     for _ in range(iters):
-        res = fn(sp, sm, tp, tm)
+        for b in batches:
+            res = fn(*b)
     jax.block_until_ready(res)
     dt = (time.time() - t0) / iters
-    pairs_per_s = B / dt
-    print(f"# steady step: {dt * 1e3:.1f} ms for {B} pairs", file=sys.stderr)
+    pairs_per_s = len(pairs) / dt
+    print(f"# steady step: {dt * 1e3:.1f} ms for {len(pairs)} pairs",
+          file=sys.stderr)
 
     record = make_record(pairs_per_s, rre, rte)
     if emit_json:

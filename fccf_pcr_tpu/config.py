@@ -105,6 +105,12 @@ class Capacities:
     max_reps: int = 256           # cluster representatives per type (<=201 used)
     max_clusters: int = 2048      # sorted seed clusters walked during emission
     max_residual: int = 1 << 16   # residual (non-planar) points kept per cloud
+    # Third-plane hits extracted per base match before global compaction
+    # (hypotheses/transforms.py two-stage extraction). Indoor-room scenes
+    # measure <= 9 hits/match; scenes dominated by families of parallel
+    # planes (pillar halls) measure up to 21 — extras beyond this bound
+    # are dropped in reference enumeration order and flag overflow.
+    per_match_hits: int = 16
     max_fine_voxels: int = 1 << 15  # occupied 0.5m voxels in fine verify
     # Raw-load capacity for the CLI-level pre-downsample (FCCF.cpp:1668-1678,
     # which runs OUTSIDE the reference's timed region :1681-1685). 0 means

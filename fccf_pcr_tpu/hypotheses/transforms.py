@@ -207,11 +207,12 @@ def generate_hypotheses(
     # Two-stage compaction: a direct compaction over the M*S (~4M) slot
     # grid costs a 4M-update scatter (~19 ms/step on v5e). Instead extract
     # each match's first `PER_MATCH` hits with top_k (hits per match are
-    # sparse: measured max 9 across every benchmark scene family; extras
-    # beyond PER_MATCH raise the overflow flag), then compact M*PER_MATCH
-    # slots. top_k on the negated slot index returns positions in
-    # ascending slot order, preserving the reference's enumeration order.
-    PER_MATCH = min(16, S)
+    # sparse: measured max 9 on room scenes, 21 on pillar halls — sized
+    # per preset by caps.per_match_hits; extras raise the overflow flag),
+    # then compact M*PER_MATCH slots. top_k on the negated slot index
+    # returns positions in ascending slot order, preserving the
+    # reference's enumeration order.
+    PER_MATCH = min(caps.per_match_hits, S)
     neg = jnp.where(slot_valid, -jnp.arange(S, dtype=jnp.int32)[None, :], -S - 1)
     vals, idxs = jax.lax.top_k(neg, PER_MATCH)  # (M, PER_MATCH)
     hit_valid = vals > -S - 1

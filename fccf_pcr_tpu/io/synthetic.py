@@ -69,6 +69,103 @@ def make_room_scene(seed=0, points_per_plane=4000, clutter_points=2000,
     return pts.astype(np.float32)
 
 
+def make_stairs_scene(seed=0, points_per_plane=4000, clutter_points=2000,
+                      noise=0.005, n_steps=10, tread=0.30, rise=0.18,
+                      width=2.4):
+    """A stairwell: large bounding planes (the registrable structure) plus
+    a staircase of small tread/riser planes. Each 0.3 m tread mixes with
+    its risers inside one 1.0 m feature voxel, so the steps land in the
+    curvature-gated residual cloud (FCCF.cpp:497 analog) and exercise
+    fine verification, like ETH "Stairs"."""
+    rng = np.random.default_rng(seed)
+    run = n_steps * tread
+    height = n_steps * rise
+    L, W, Hh = run + 4.0, width + 3.0, height + 2.5
+    planes = [
+        # lower + upper landings (floor level and top of the flight)
+        ((1.0, W / 2, 0.0), (0, 0, 1), (2.0, W)),
+        ((run + 3.0, W / 2, height), (0, 0, 1), (2.0, W)),
+        # side walls, ceiling slab, back wall
+        ((L / 2, 0.0, Hh / 2), (0, 1, 0), (L, Hh)),
+        ((L / 2, W, Hh / 2), (0, 1, 0), (L, Hh)),
+        ((L / 2, W / 2, Hh), (0, 0, 1), (L, W)),
+        ((0.0, W / 2, Hh / 2), (1, 0, 0), (W, Hh)),
+        # sloped ramp wall under the flight + an angled partition
+        # (breaks the front/back symmetry of the stairwell box)
+        ((2.0 + run / 2, W * 0.25, height / 2),
+         (rise, 0.15 * tread, -tread), (run * 0.8, W * 0.4)),
+        ((L * 0.7, W * 0.6, Hh * 0.45), (0.7, 0.6, 0.25), (W, Hh * 0.7)),
+    ]
+    parts = [
+        make_plane(rng, np.asarray(c, np.float64), n, e, points_per_plane, noise)
+        for c, n, e in planes
+    ]
+    # The flight itself: small treads + risers (residual-cloud fodder).
+    per_step = max(points_per_plane // (2 * n_steps), 64)
+    for i in range(n_steps):
+        x0 = 2.0 + i * tread
+        z1 = (i + 1) * rise
+        parts.append(make_plane(
+            rng, np.array([x0 + tread / 2, W / 2, z1]), (0, 0, 1),
+            (tread, width), per_step, noise))
+        parts.append(make_plane(
+            rng, np.array([x0, W / 2, z1 - rise / 2]), (1, 0, 0),
+            (width, rise), per_step, noise))
+    for _ in range(4):
+        center = rng.uniform([1, 0.5, 0.3], [L - 1, W - 0.5, 2.0])
+        blob = center + rng.normal(0.0, 0.25, (clutter_points // 4, 3))
+        parts.append(blob)
+    return np.concatenate(parts, axis=0).astype(np.float32)
+
+
+def make_hall_scene(seed=0, points_per_plane=4000, clutter_points=2000,
+                    noise=0.005, hall=(30.0, 12.0, 8.0), n_pillars=6):
+    """A large building hall (ETH "Hauptgebaude" proxy): long floor /
+    ceiling / walls at building scale, a mezzanine slab, an angled end
+    facade, and rows of pillars whose small faces mostly fall below the
+    per-voxel point gate (FCCF.cpp:486 analog) or into the residual."""
+    rng = np.random.default_rng(seed)
+    L, W, Hh = hall
+    planes = [
+        ((L / 2, W / 2, 0.0), (0, 0, 1), (L, W)),
+        ((L / 2, W / 2, Hh), (0, 0, 1), (L, W)),
+        ((L / 2, 0.0, Hh / 2), (0, 1, 0), (L, Hh)),
+        ((L / 2, W, Hh / 2), (0, 1, 0), (L, Hh)),
+        ((0.0, W / 2, Hh / 2), (1, 0, 0), (W, Hh)),
+        # angled end facade instead of a square wall (asymmetry)
+        ((L, W / 2, Hh / 2), (0.92, 0.38, 0), (W * 1.1, Hh)),
+        # mezzanine slab along one side + its slanted stair ramp
+        ((L * 0.3, W * 0.2, Hh * 0.45), (0, 0, 1), (L * 0.5, W * 0.35)),
+        ((L * 0.62, W * 0.2, Hh * 0.22),
+         (0.45, 0.0, 0.89), (W * 0.35, Hh * 0.5)),
+    ]
+    parts = [
+        make_plane(rng, np.asarray(c, np.float64), n, e, points_per_plane, noise)
+        for c, n, e in planes
+    ]
+    # Pillar rows: 4 narrow vertical strips each (0.6 m wide, sub-voxel).
+    per_face = max(points_per_plane // (4 * n_pillars), 64)
+    for i in range(n_pillars):
+        cx = L * (i + 1.0) / (n_pillars + 1.0)
+        for cy in (W * 0.3, W * 0.7):
+            for nrm, off in (((1, 0, 0), (0.3, 0.0)), ((0, 1, 0), (0.0, 0.3))):
+                parts.append(make_plane(
+                    rng, np.array([cx + off[0], cy + off[1], Hh * 0.35]),
+                    nrm, (0.6, Hh * 0.7), per_face, noise))
+    for _ in range(6):
+        center = rng.uniform([2, 1, 0.3], [L - 2, W - 1, 2.5])
+        blob = center + rng.normal(0.0, 0.4, (clutter_points // 6, 3))
+        parts.append(blob)
+    return np.concatenate(parts, axis=0).astype(np.float32)
+
+
+SCENES = {
+    "room": make_room_scene,
+    "stairs": make_stairs_scene,
+    "hall": make_hall_scene,
+}
+
+
 def random_se3(rng, max_angle_deg=40.0, max_trans=3.0):
     """Random rigid transform with bounded rotation/translation."""
     axis = rng.normal(size=3)
@@ -89,17 +186,20 @@ def random_se3(rng, max_angle_deg=40.0, max_trans=3.0):
     return T.astype(np.float32)
 
 
-def make_pair(seed=0, max_angle_deg=40.0, max_trans=3.0, dropout=0.15, **scene_kw):
+def make_pair(seed=0, max_angle_deg=40.0, max_trans=3.0, dropout=0.15,
+              scene="room", **scene_kw):
     """Build (src_points, tar_points, T_gt) with T_gt mapping src -> tar.
 
     The target cloud is the scene itself; the source cloud is the scene
     viewed in a different frame (apply inverse of T_gt) with partial
     dropout + independent noise realization, emulating two scans of the
-    same scene from different poses.
+    same scene from different poses. ``scene`` picks a generator from
+    ``SCENES`` (room / stairs / hall).
     """
+    make_scene = SCENES[scene]
     rng = np.random.default_rng(seed + 99991)
-    tar = make_room_scene(seed=seed, **scene_kw)
-    src_world = make_room_scene(seed=seed + 1, **scene_kw)
+    tar = make_scene(seed=seed, **scene_kw)
+    src_world = make_scene(seed=seed + 1, **scene_kw)
     keep = rng.uniform(size=src_world.shape[0]) > dropout
     src_world = src_world[keep]
     T_gt = random_se3(rng, max_angle_deg, max_trans)
@@ -108,6 +208,41 @@ def make_pair(seed=0, max_angle_deg=40.0, max_trans=3.0, dropout=0.15, **scene_k
     t = T_gt[:3, 3]
     src = (src_world - t) @ R  # R^T (x - t)
     return src.astype(np.float32), tar.astype(np.float32), T_gt
+
+
+def make_sequence(seed=0, n_scans=9, step_angle_deg=12.0, step_trans=0.8,
+                  dropout=0.15, scene="room", **scene_kw):
+    """A drifting scan trajectory over one scene: the full-sequence-sweep
+    analog of registering all consecutive pairs of an ETH dataset
+    (BASELINE.json config 5).
+
+    Scan k is an independent sampling of the scene (own noise/dropout
+    realization) expressed in its own sensor frame; frames drift by a
+    bounded random SE(3) increment per step. Returns (scans, T_rel, poses)
+    where ``scans`` is a list of (M_k, 3) float32 clouds, ``T_rel[k]``
+    maps scan k's frame into scan k+1's frame (the per-pair ground truth),
+    and ``poses[k]`` maps scan k's frame into the world frame
+    (``poses[k+1] @ T_rel[k] == poses[k]``).
+    """
+    rng = np.random.default_rng(seed + 7777)
+    make_scene = SCENES[scene]
+    # pose[k] maps scan-k sensor frame -> world
+    pose = np.eye(4, dtype=np.float64)
+    scans, poses = [], []
+    for k in range(n_scans):
+        world = make_scene(seed=seed + 31 * k, **scene_kw).astype(np.float64)
+        keep = rng.uniform(size=world.shape[0]) > dropout
+        world = world[keep]
+        R, t = pose[:3, :3], pose[:3, 3]
+        scans.append(((world - t) @ R).astype(np.float32))
+        poses.append(pose)
+        step = random_se3(rng, step_angle_deg, step_trans).astype(np.float64)
+        pose = pose @ step
+    T_rel = [
+        (np.linalg.inv(poses[k + 1]) @ poses[k]).astype(np.float32)
+        for k in range(n_scans - 1)
+    ]
+    return scans, T_rel, [p.astype(np.float32) for p in poses]
 
 
 def pad_points(pts, capacity):

@@ -7,6 +7,8 @@ presets sized for the benchmark configurations in BASELINE.md / BASELINE.json:
 
   eth-office      ETH "Office", 0.1 m leaf (README demo config)
   eth-apartment   ETH "Apartment", 0.05 m leaf (denser indoor)
+  eth-structured  Stairs + Hauptgebaude mixed batches (small-plane flights
+                  and building-scale halls in one vmap batch)
   eth-outdoor     Gazebo/Wood cross-season (larger extents, more clutter)
   resso           RESSO scenes (building-scale)
   heritage        Heritage (largest scene in Table I)
@@ -67,6 +69,19 @@ _DENSE_CAPS = dataclasses.replace(  # apartment: raw<=248k, down<=122k,
     max_fine_voxels=2048,
 )
 
+_STRUCTURED_CAPS = dataclasses.replace(  # stairs: raw<=112k, down<=31.7k,
+    _STANDARD_CAPS,                      #   vox<=301, hyp<=1350, res<=12.9k,
+    max_points=98304,                    #   fine<=442
+    max_raw_points=147456,               # hall: raw<=132k, down<=90.9k,
+    max_voxels=4608,                     #   vox<=3145, hyp<=8767, res<=15.2k,
+    max_matches=4096,                    #   fine<=1454
+    max_hypotheses=16384,                # (6 seeds x 2 clouds per family;
+    max_clusters=4096,                   #  /tmp measurement, round-2 log)
+    max_residual=1 << 15,
+    max_fine_voxels=2048,
+    per_match_hits=32,                   # parallel pillar faces: <=21 hits
+)
+
 _OUTDOOR_CAPS = dataclasses.replace(  # cross-season: raw<=102k, down<=57k,
     _STANDARD_CAPS,                   #   vox<=1023, hyp<=1306, res<=20k,
     max_raw_points=1 << 18,           #   fine<=1230
@@ -91,6 +106,9 @@ REGISTRY = {
     ),
     "eth-apartment": FCCFModel(
         "eth-apartment", FCCFParams(leaf_size=0.05), _DENSE_CAPS
+    ),
+    "eth-structured": FCCFModel(
+        "eth-structured", FCCFParams(leaf_size=0.1), _STRUCTURED_CAPS
     ),
     "eth-outdoor": FCCFModel(
         "eth-outdoor", FCCFParams(leaf_size=0.1), _OUTDOOR_CAPS

@@ -1,0 +1,74 @@
+"""Scene-family coverage tests: the stairs / hall generators behind the
+BASELINE.json "Stairs + Hauptgebaude" config and the sequence generator
+behind the full-sweep config (bench.py CONFIGS structured / sweep)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fccf_pcr_tpu import make_register_fn, registration_errors
+from fccf_pcr_tpu.io import synthetic
+from fccf_pcr_tpu.pipeline.register import STATUS_DEGENERATE
+
+
+@pytest.fixture(scope="module")
+def register(params, caps):
+    return make_register_fn(params, caps)
+
+
+def _register_pair(register, caps, src, tar):
+    src_p, src_m = synthetic.pad_points(src, caps.max_points)
+    tar_p, tar_m = synthetic.pad_points(tar, caps.max_points)
+    return register(src_p, src_m, tar_p, tar_m)
+
+
+def test_stairs_pair_registers(register, caps):
+    src, tar, T_gt = synthetic.make_pair(
+        seed=11, scene="stairs", points_per_plane=1200, clutter_points=600
+    )
+    res = _register_pair(register, caps, src, tar)
+    rre, rte = registration_errors(res.transform, jnp.asarray(T_gt))
+    assert float(rre) < 1.0, f"RRE {float(rre)}"
+    assert float(rte) < 0.3, f"RTE {float(rte)}"
+    assert int(res.status) & STATUS_DEGENERATE == 0
+
+
+def test_hall_pair_registers(register, caps):
+    src, tar, T_gt = synthetic.make_pair(
+        seed=12, scene="hall", points_per_plane=1000, clutter_points=600,
+        hall=(12.0, 7.0, 4.0), n_pillars=3,
+    )
+    res = _register_pair(register, caps, src, tar)
+    rre, rte = registration_errors(res.transform, jnp.asarray(T_gt))
+    assert float(rre) < 1.0, f"RRE {float(rre)}"
+    assert float(rte) < 0.3, f"RTE {float(rte)}"
+    assert int(res.status) & STATUS_DEGENERATE == 0
+
+
+def test_sequence_pose_algebra():
+    """T_rel[k] must map scan k's frame into scan k+1's frame:
+    poses[k+1] @ T_rel[k] == poses[k], and every pose is rigid."""
+    scans, T_rel, poses = synthetic.make_sequence(
+        seed=4, n_scans=5, points_per_plane=300, clutter_points=120
+    )
+    assert len(scans) == 5 and len(T_rel) == 4 and len(poses) == 5
+    for k in range(4):
+        np.testing.assert_allclose(
+            poses[k + 1] @ T_rel[k], poses[k], atol=1e-5
+        )
+    for P in poses:
+        R = P[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        np.testing.assert_allclose(P[3], [0, 0, 0, 1], atol=0)
+    for s in scans:
+        assert np.isfinite(s).all() and s.ndim == 2 and s.shape[1] == 3
+
+
+def test_sequence_consecutive_pair_registers(register, caps):
+    scans, T_rel, _ = synthetic.make_sequence(
+        seed=2, n_scans=3, points_per_plane=1500, clutter_points=900
+    )
+    res = _register_pair(register, caps, scans[0], scans[1])
+    rre, rte = registration_errors(res.transform, jnp.asarray(T_rel[0]))
+    assert float(rre) < 1.0, f"RRE {float(rre)}"
+    assert float(rte) < 0.3, f"RTE {float(rte)}"

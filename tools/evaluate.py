@@ -25,6 +25,13 @@ def evaluate_config(name, cfg, seeds, batch):
     from fccf_pcr_tpu.models.fccf import get_model
     from fccf_pcr_tpu.pipeline.register import pre_downsample
 
+    if "sequence" in cfg:
+        raise ValueError(
+            f"config '{name}' is a sequence-sweep throughput config; its "
+            "scene family is evaluated via the office config"
+        )
+    fams = cfg.get("scenes")  # mixed-family configs (structured)
+
     model = get_model(cfg["model"])
     params, caps = model.params, model.caps
     fn = make_register_fn(params, caps, batched=True)
@@ -36,7 +43,11 @@ def evaluate_config(name, cfg, seeds, batch):
         ss = list(range(b0, min(b0 + batch, seeds)))
         ss_eff = ss + [ss[-1]] * (batch - len(ss))
         pairs = [
-            synthetic.make_pair(seed=s, **cfg["scene"], **cfg["pair"])
+            synthetic.make_pair(
+                seed=s,
+                **(fams[s % len(fams)] if fams else cfg["scene"]),
+                **cfg["pair"],
+            )
             for s in ss_eff
         ]
         sp = np.stack([synthetic.pad_points(p[0], caps.raw_points)[0] for p in pairs])
