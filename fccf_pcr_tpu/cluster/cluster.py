@@ -97,13 +97,26 @@ def _greedy_seeds_all_types(masks, t, px, py, params):
     eligible = masks & (idx[None, :] != last_idx[:, None])
     bi = jnp.arange(B)
     lower = bi[:, None] < bi[None, :]  # [j, i] within block
-    stats9 = jnp.concatenate([t, px, py], axis=-1)  # (H, 9)
+    # Per-type member stats as ONE matmul: 10 columns per type lane —
+    # [t, px, py, 1] zeroed outside the lane — so a block's member sums
+    # and sizes are (geo @ stats_cols) with the row's type mask applied
+    # AFTER the contraction. Nothing (n_types, B, H)-shaped ever
+    # materializes (the former bool member tensor + f32 convert measured
+    # ~45 ms/step at H=16384, batch 8, on v5e).
+    stats10 = jnp.concatenate(
+        [t, px, py, jnp.ones((H, 1), t.dtype)], axis=-1
+    )  # (H, 10)
+    stats_cols = (
+        stats10[None, :, :] * masks[:, :, None].astype(t.dtype)
+    )  # (3, H, 10)
+    stats_cols = jnp.moveaxis(stats_cols, 0, 1).reshape(H, n_types * 10)
 
     def block(carry, b0):
         covered, seeds, size, sums = carry
         t_rows = jax.lax.dynamic_slice_in_dim(t, b0, B, 0)
         px_rows = jax.lax.dynamic_slice_in_dim(px, b0, B, 0)
         geo = _ball_rows(t_rows, px_rows, t, px, params)          # (B, H)
+        geo_f = geo.astype(t.dtype)
         geo_sub = jax.lax.dynamic_slice_in_dim(geo, b0, B, 1)     # (B, B)
 
         mask_rows = jax.lax.dynamic_slice_in_dim(masks, b0, B, 1)  # (3, B)
@@ -124,15 +137,21 @@ def _greedy_seeds_all_types(masks, t, px, py, params):
             fix,
             (elig_b, jnp.bool_(True), jnp.int32(0)),
         )
-        # members of each block row within its type lane
-        rows_t = geo[None] & mask_rows[:, :, None] & masks[:, None, :]
-        # coverage from this block's seeds to later indices
-        cov_new = covered | jnp.any(rows_t & s_b[:, :, None], axis=1)
+        # coverage from this block's seeds to all indices of their lane:
+        # OR over seed rows == a (3, B) @ (B, H) count being positive
+        # (counts are small integers, exact in f32).
+        s_eff = (s_b & mask_rows).astype(t.dtype)  # (3, B)
+        cov_hits = s_eff @ geo_f                   # (3, H)
+        cov_new = covered | ((cov_hits > 0.5) & masks)
         seeds = jax.lax.dynamic_update_slice(seeds, s_b, (0, b0))
-        # per-row cluster stats (valid wherever the row is a seed)
-        m = rows_t.astype(t.dtype)  # (3, B, H)
-        size_b = jnp.sum(m, axis=-1)
-        sums_b = jnp.einsum("tbh,hk->tbk", m, stats9)
+        # per-row cluster stats (valid wherever the row is a seed):
+        # members = the row's ball restricted to the type lane
+        # (allocated-or-not, the reference's overlap quirk).
+        ss = geo_f @ stats_cols                    # (B, 3*10)
+        ss = jnp.moveaxis(ss.reshape(B, n_types, 10), 1, 0)  # (3, B, 10)
+        ss = ss * mask_rows[:, :, None].astype(t.dtype)
+        size_b = ss[..., 9]
+        sums_b = ss[..., 0:9]
         size = jax.lax.dynamic_update_slice(size, size_b, (0, b0))
         sums = jax.lax.dynamic_update_slice(sums, sums_b, (0, b0, 0))
         return (cov_new, seeds, size, sums), None

@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 
-def evaluate_config(name, cfg, seeds, batch):
+def evaluate_config(name, cfg, seeds, batch, rotation_gate=None):
     import jax
 
     from fccf_pcr_tpu import make_register_fn, registration_errors
@@ -34,6 +34,8 @@ def evaluate_config(name, cfg, seeds, batch):
 
     model = get_model(cfg["model"])
     params, caps = model.params, model.caps
+    if rotation_gate is not None:
+        params = params.replace(fuse_rotation_gate_deg=rotation_gate)
     fn = make_register_fn(params, caps, batched=True)
     pre = jax.jit(jax.vmap(lambda p, m: pre_downsample(p, m, params, caps)))
 
@@ -101,6 +103,11 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--configs", default="office,apartment,cross-season")
     ap.add_argument("--device", default=None, choices=["cpu"])
+    ap.add_argument(
+        "--fuse-rotation-gate", type=float, default=None,
+        help="override FCCFParams.fuse_rotation_gate_deg (degrees; "
+        "0 = reference-faithful blind averaging)",
+    )
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -109,7 +116,8 @@ def main():
 
     rows = []
     for name in args.configs.split(","):
-        r = evaluate_config(name, bench.CONFIGS[name], args.seeds, args.batch)
+        r = evaluate_config(name, bench.CONFIGS[name], args.seeds, args.batch,
+                            rotation_gate=args.fuse_rotation_gate)
         print(f"# {r}", file=sys.stderr)
         rows.append(r)
 
