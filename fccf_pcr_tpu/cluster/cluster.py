@@ -111,8 +111,9 @@ def _greedy_seeds_all_types(masks, t, px, py, params):
     )  # (3, H, 10)
     stats_cols = jnp.moveaxis(stats_cols, 0, 1).reshape(H, n_types * 10)
 
-    def block(carry, b0):
+    def block(i, carry):
         covered, seeds, size, sums = carry
+        b0 = i * B
         t_rows = jax.lax.dynamic_slice_in_dim(t, b0, B, 0)
         px_rows = jax.lax.dynamic_slice_in_dim(px, b0, B, 0)
         geo = _ball_rows(t_rows, px_rows, t, px, params)          # (B, H)
@@ -154,9 +155,18 @@ def _greedy_seeds_all_types(masks, t, px, py, params):
         sums_b = ss[..., 0:9]
         size = jax.lax.dynamic_update_slice(size, size_b, (0, b0))
         sums = jax.lax.dynamic_update_slice(sums, sums_b, (0, b0, 0))
-        return (cov_new, seeds, size, sums), None
+        return (cov_new, seeds, size, sums)
 
-    (_, seeds, size, sums), _ = jax.lax.scan(
+    # Hypotheses are prefix-compacted, so blocks past the occupied prefix
+    # contain no valid rows or columns — skip them at RUNTIME (dynamic
+    # trip count; under vmap the batch runs to the longest lane). At the
+    # structured preset the pool fills to ~60% of H, saving ~40% of the
+    # scan's ball/stats matmuls.
+    n_occ = jnp.sum(jnp.any(masks, axis=0).astype(jnp.int32))
+    n_blocks = (n_occ + B - 1) // B
+    (_, seeds, size, sums) = jax.lax.fori_loop(
+        0,
+        n_blocks,
         block,
         (
             jnp.zeros((n_types, H), bool),
@@ -164,7 +174,6 @@ def _greedy_seeds_all_types(masks, t, px, py, params):
             jnp.zeros((n_types, H), t.dtype),
             jnp.zeros((n_types, H, 9), t.dtype),
         ),
-        jnp.arange(0, H, B),
     )
     return seeds, size, sums
 

@@ -216,16 +216,22 @@ def generate_hypotheses(
     neg = jnp.where(slot_valid, -jnp.arange(S, dtype=jnp.int32)[None, :], -S - 1)
     vals, idxs = jax.lax.top_k(neg, PER_MATCH)  # (M, PER_MATCH)
     hit_valid = vals > -S - 1
-    hit_t = jnp.take_along_axis(slot_t, idxs[:, :, None], axis=1)
-    hit_q = jnp.broadcast_to(quat[:, None, :], (M, PER_MATCH, 4))
-    hit_type = jnp.broadcast_to(mtype[:, None], (M, PER_MATCH))
     row_overflow = jnp.any(
         jnp.sum(slot_valid, axis=1) > PER_MATCH
     )  # > PER_MATCH hits in one match: extras dropped (flagged)
 
-    (h_count, h_overflow, h_valid, hq, ht, htype) = compact(
-        hit_valid, H, hit_q, hit_t, hit_type
-    )
+    # Deferred payload extraction: the compaction carries ONLY each hit's
+    # flat (match * S + slot) index; the (H,)-sized output then gathers
+    # translation/quat/type straight from the per-match tables. Nothing
+    # (M * PER_MATCH)-wide materializes beyond the validity bits and one
+    # int32 index (the former (M*K, 3) hit-translation gather measured
+    # ~13 ms/step at M=4096 on v5e).
+    flat = jnp.arange(M, dtype=jnp.int32)[:, None] * S + idxs  # (M, K)
+    (h_count, h_overflow, h_valid, hflat) = compact(hit_valid, H, flat)
+    hm = hflat // S
+    ht = jnp.where(h_valid[:, None], slot_t.reshape(M * S, 3)[hflat], 0.0)
+    hq = jnp.where(h_valid[:, None], quat[hm], 0.0)
+    htype = jnp.where(h_valid, mtype[hm], 0)
     return Hypotheses(
         quat=hq,
         t=ht,

@@ -73,7 +73,7 @@ _STRUCTURED_CAPS = dataclasses.replace(  # stairs: raw<=112k, down<=31.7k,
     _STANDARD_CAPS,                      #   vox<=301, hyp<=1350, res<=12.9k,
     max_points=98304,                    #   fine<=442
     max_raw_points=147456,               # hall: raw<=132k, down<=90.9k,
-    max_voxels=4608,                     #   vox<=3145, hyp<=8767, res<=15.2k,
+    max_voxels=4096,                     #   vox<=3145, hyp<=8767, res<=15.2k,
     max_matches=4096,                    #   fine<=1454
     max_hypotheses=16384,                # (6 seeds x 2 clouds per family;
     max_clusters=4096,                   #  /tmp measurement, round-2 log)

@@ -74,6 +74,13 @@ def test_fine_overflow_flagged(params, caps):
     assert status & STATUS_FINE_OVERFLOW
 
 
+def test_per_match_hits_overflow_flagged(params, caps):
+    # with only 1 third-plane hit extracted per base match, room scenes
+    # (measured up to 9 hits/match) must truncate and flag.
+    status = _run(params, caps.replace(per_match_hits=1))
+    assert status & STATUS_HYPOTHESIS_OVERFLOW
+
+
 def test_no_spurious_overflow(params, caps):
     # the standard caps fit the standard scene: no overflow bit may fire.
     status = _run(params, caps)

@@ -118,6 +118,73 @@ def test_hypotheses_match_twin():
         np.testing.assert_allclose(t_got[k], M[:3, 3], atol=5e-2)
 
 
+def test_per_match_truncation_keeps_first_slots():
+    """per_match_hits truncation must keep each match's FIRST hits in
+    reference enumeration order (s-major) and flag the overflow — the
+    truncated pool is a strict subset of the untruncated one."""
+    rng = np.random.default_rng(7)
+    params = FCCFParams()
+
+    def family_faces(seed):
+        """12 faces drawn from 3 nearly-parallel normal families (like a
+        pillar hall): any base match then has many third-plane (s, t)
+        candidates within the 5-degree gate."""
+        r = np.random.default_rng(seed)
+        fams = np.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+        normals = np.repeat(fams, 4, axis=0)
+        normals = normals + r.normal(0, 0.01, normals.shape)  # ~0.6 deg jitter
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+        centroids = r.uniform(-8, 8, (12, 3))
+        sizes = r.uniform(50, 4000, 12)
+        thetas = r.uniform(0.2, 1.5, 12)  # all smooth: one type lane
+        F = 16
+        pad = F - 12
+        return Faces(
+            centroid=jnp.asarray(
+                np.concatenate([centroids, np.zeros((pad, 3))]), jnp.float32),
+            normal=jnp.asarray(
+                np.concatenate([normals, np.zeros((pad, 3))]), jnp.float32),
+            point_size=jnp.asarray(
+                np.concatenate([sizes, np.zeros(pad)]), jnp.float32),
+            voxel_count=jnp.asarray(
+                np.concatenate([np.ones(12), np.zeros(pad)]), jnp.int32),
+            theta=jnp.asarray(
+                np.concatenate([thetas, np.zeros(pad)]), jnp.float32),
+            valid=jnp.asarray(np.arange(F) < 12),
+        )
+
+    f1 = family_faces(1)
+    f2 = family_faces(2)
+    b1 = select_bases(f1, params)
+    b2 = select_bases(f2, params)
+
+    def run(caps):
+        return jax.jit(
+            lambda f1, f2, b1, b2: generate_hypotheses(
+                f1, f2, b1, b2, params, caps
+            )
+        )(f1, f2, b1, b2)
+
+    # max_hypotheses is raised so ONLY the per-match width differs
+    full = run(TEST_CAPS.replace(
+        per_match_hits=257, max_hypotheses=16384, max_matches=4096))
+    trunc = run(TEST_CAPS.replace(
+        per_match_hits=2, max_hypotheses=16384, max_matches=4096))
+    n_full, n_trunc = int(full.count), int(trunc.count)
+    assert not bool(full.overflow)
+    assert bool(trunc.overflow), "truncation must flag"
+    assert n_trunc < n_full
+
+    def rows(h, n):
+        q = np.asarray(h.quat[:n])
+        t = np.asarray(h.t[:n])
+        return {tuple(np.round(np.concatenate([q[k], t[k]]), 5)) for k in range(n)}
+
+    assert rows(trunc, n_trunc) <= rows(full, n_full), (
+        "truncated hypotheses must be a subset of the full pool"
+    )
+
+
 def test_quick_verify_score_matches_twin():
     rng = np.random.default_rng(2)
     params = FCCFParams()
