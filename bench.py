@@ -66,6 +66,24 @@ CONFIGS = {
 }
 
 
+def pairs_for_config(cfg, seeds):
+    """(src, tar, T_gt) pairs for a CONFIGS entry: one pair per seed;
+    mixed-family configs round-robin the family by seed value. Shared
+    with tools/evaluate.py so the seed-to-scene assignment cannot
+    drift between the benchmark and the accuracy sweep."""
+    from fccf_pcr_tpu.io import synthetic
+
+    fams = cfg.get("scenes")
+    return [
+        synthetic.make_pair(
+            seed=s,
+            **(fams[s % len(fams)] if fams else cfg["scene"]),
+            **cfg["pair"],
+        )
+        for s in seeds
+    ]
+
+
 def make_record(pairs_per_s, rre, rte):
     """Build the headline JSON record, gated on the accuracy check.
 
@@ -106,27 +124,33 @@ def run_config(name, cfg, emit_json):
 
     t0 = time.time()
     if "sequence" in cfg:
-        # ALL consecutive pairs of one drifting trajectory (BASELINE
-        # config 5): pair k registers scan k against scan k+1, processed
-        # as ceil((n_scans-1)/B) batched steps per timed iteration.
-        scans, T_rel, _ = synthetic.make_sequence(seed=0, **cfg["sequence"])
+        # Consecutive pairs of one drifting trajectory (BASELINE config
+        # 5): pair k registers scan k against scan k+1, processed as
+        # multiple batched steps per timed iteration. Only FULL batches
+        # are timed; a trailing partial batch is dropped with a notice
+        # (size the config with n_scans = m*B + 1 to cover every pair).
+        scans, T_rel, _ = synthetic.make_sequence(
+            seed=0, **cfg["sequence"], **cfg["pair"]
+        )
         pairs = [
             (scans[k], scans[k + 1], T_rel[k]) for k in range(len(T_rel))
         ]
-        pairs = pairs[: (len(pairs) // B) * B]
-    elif "scenes" in cfg:
-        # Mixed scene families round-robined across the batch
-        # (BASELINE config 3: Stairs + Hauptgebaude in one vmap batch).
-        fams = cfg["scenes"]
-        pairs = [
-            synthetic.make_pair(seed=s, **fams[s % len(fams)], **cfg["pair"])
-            for s in range(B)
-        ]
+        n_full = (len(pairs) // B) * B
+        if n_full == 0:
+            raise ValueError(
+                f"[{name}] sequence yields {len(pairs)} pairs; need at "
+                f"least one full batch of {B} (n_scans >= {B + 1})"
+            )
+        if n_full != len(pairs):
+            print(
+                f"# [{name}] note: timing first {n_full} of {len(pairs)} "
+                "consecutive pairs (full batches only)", file=sys.stderr,
+            )
+        pairs = pairs[:n_full]
     else:
-        pairs = [
-            synthetic.make_pair(seed=s, **cfg["scene"], **cfg["pair"])
-            for s in range(B)
-        ]
+        # One pair per seed; mixed-family configs (BASELINE config 3:
+        # Stairs + Hauptgebaude in one vmap batch) alternate by seed.
+        pairs = pairs_for_config(cfg, range(B))
     nb = len(pairs) // B  # batched steps per timed iteration (1 except sweep)
     sp = np.stack([synthetic.pad_points(p[0], caps.raw_points)[0] for p in pairs])
     sm = np.stack([synthetic.pad_points(p[0], caps.raw_points)[1] for p in pairs])
@@ -166,7 +190,7 @@ def run_config(name, cfg, emit_json):
     # remote-TPU tunnel would otherwise dominate the wall clock).
     batches = [
         tuple(
-            jax.device_put(np.asarray(a[j * B:(j + 1) * B]))
+            jax.device_put(a[j * B:(j + 1) * B])
             for a in (sp, sm, tp, tm)
         )
         for j in range(nb)

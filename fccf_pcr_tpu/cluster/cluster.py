@@ -157,12 +157,13 @@ def _greedy_seeds_all_types(masks, t, px, py, params):
         sums = jax.lax.dynamic_update_slice(sums, sums_b, (0, b0, 0))
         return (cov_new, seeds, size, sums)
 
-    # Hypotheses are prefix-compacted, so blocks past the occupied prefix
-    # contain no valid rows or columns — skip them at RUNTIME (dynamic
-    # trip count; under vmap the batch runs to the longest lane). At the
-    # structured preset the pool fills to ~60% of H, saving ~40% of the
-    # scan's ball/stats matmuls.
-    n_occ = jnp.sum(jnp.any(masks, axis=0).astype(jnp.int32))
+    # Blocks past the last valid index contain no valid rows or columns
+    # — skip them at RUNTIME (dynamic trip count; under vmap the batch
+    # runs to the longest lane). Bounded by max(last_idx), not a
+    # popcount, so the skip stays correct even for non-prefix masks. At
+    # the structured preset the (prefix-compacted) pool fills ~60% of H,
+    # saving ~40% of the scan's ball/stats matmuls.
+    n_occ = jnp.max(last_idx) + 1
     n_blocks = (n_occ + B - 1) // B
     (_, seeds, size, sums) = jax.lax.fori_loop(
         0,

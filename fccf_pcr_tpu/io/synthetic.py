@@ -13,16 +13,29 @@ from __future__ import annotations
 import numpy as np
 
 
-def make_plane(rng, center, normal, extent, n_points, noise=0.005):
-    """Sample n_points from a finite plane patch with Gaussian noise."""
+def make_plane(rng, center, normal, extent, n_points, noise=0.005,
+               u_hint=None):
+    """Sample n_points from a finite plane patch with Gaussian noise.
+
+    extent[0] spans the u axis, extent[1] the v axis. Without ``u_hint``
+    the in-plane basis is an arbitrary deterministic function of the
+    normal (u = normal x ref); pass ``u_hint`` (any vector not parallel
+    to the normal) to pin u = the hint projected into the plane — needed
+    when a patch's two extents must land on specific world directions
+    (stair treads, pillar strips)."""
     normal = np.asarray(normal, np.float64)
     normal = normal / np.linalg.norm(normal)
-    # Build an orthonormal basis in the plane.
-    a = np.array([1.0, 0.0, 0.0])
-    if abs(normal @ a) > 0.9:
-        a = np.array([0.0, 1.0, 0.0])
-    u = np.cross(normal, a)
-    u /= np.linalg.norm(u)
+    if u_hint is not None:
+        h = np.asarray(u_hint, np.float64)
+        u = h - (h @ normal) * normal
+        u /= np.linalg.norm(u)
+    else:
+        # Arbitrary deterministic basis in the plane.
+        a = np.array([1.0, 0.0, 0.0])
+        if abs(normal @ a) > 0.9:
+            a = np.array([0.0, 1.0, 0.0])
+        u = np.cross(normal, a)
+        u /= np.linalg.norm(u)
     v = np.cross(normal, u)
     uv = rng.uniform(-0.5, 0.5, (n_points, 2)) * np.asarray(extent)
     pts = center + uv[:, :1] * u + uv[:, 1:2] * v
@@ -81,24 +94,29 @@ def make_stairs_scene(seed=0, points_per_plane=4000, clutter_points=2000,
     run = n_steps * tread
     height = n_steps * rise
     L, W, Hh = run + 4.0, width + 3.0, height + 2.5
+    X = (1.0, 0.0, 0.0)
+    Y = (0.0, 1.0, 0.0)
+    # (center, normal, (extent_u, extent_v), u_hint): u_hint pins which
+    # world direction extent_u spans (see make_plane).
     planes = [
         # lower + upper landings (floor level and top of the flight)
-        ((1.0, W / 2, 0.0), (0, 0, 1), (2.0, W)),
-        ((run + 3.0, W / 2, height), (0, 0, 1), (2.0, W)),
+        ((1.0, W / 2, 0.0), (0, 0, 1), (2.0, W), X),
+        ((run + 3.0, W / 2, height), (0, 0, 1), (2.0, W), X),
         # side walls, ceiling slab, back wall
-        ((L / 2, 0.0, Hh / 2), (0, 1, 0), (L, Hh)),
-        ((L / 2, W, Hh / 2), (0, 1, 0), (L, Hh)),
-        ((L / 2, W / 2, Hh), (0, 0, 1), (L, W)),
-        ((0.0, W / 2, Hh / 2), (1, 0, 0), (W, Hh)),
+        ((L / 2, 0.0, Hh / 2), (0, 1, 0), (L, Hh), X),
+        ((L / 2, W, Hh / 2), (0, 1, 0), (L, Hh), X),
+        ((L / 2, W / 2, Hh), (0, 0, 1), (L, W), X),
+        ((0.0, W / 2, Hh / 2), (1, 0, 0), (W, Hh), Y),
         # sloped ramp wall under the flight + an angled partition
         # (breaks the front/back symmetry of the stairwell box)
         ((2.0 + run / 2, W * 0.25, height / 2),
-         (rise, 0.15 * tread, -tread), (run * 0.8, W * 0.4)),
-        ((L * 0.7, W * 0.6, Hh * 0.45), (0.7, 0.6, 0.25), (W, Hh * 0.7)),
+         (rise, 0.15 * tread, -tread), (run * 0.8, W * 0.4), X),
+        ((L * 0.7, W * 0.6, Hh * 0.45), (0.7, 0.6, 0.25), (W, Hh * 0.7), Y),
     ]
     parts = [
-        make_plane(rng, np.asarray(c, np.float64), n, e, points_per_plane, noise)
-        for c, n, e in planes
+        make_plane(rng, np.asarray(c, np.float64), n, e, points_per_plane,
+                   noise, u_hint=h)
+        for c, n, e, h in planes
     ]
     # The flight itself: small treads + risers (residual-cloud fodder).
     per_step = max(points_per_plane // (2 * n_steps), 64)
@@ -107,10 +125,10 @@ def make_stairs_scene(seed=0, points_per_plane=4000, clutter_points=2000,
         z1 = (i + 1) * rise
         parts.append(make_plane(
             rng, np.array([x0 + tread / 2, W / 2, z1]), (0, 0, 1),
-            (tread, width), per_step, noise))
+            (tread, width), per_step, noise, u_hint=X))
         parts.append(make_plane(
             rng, np.array([x0, W / 2, z1 - rise / 2]), (1, 0, 0),
-            (width, rise), per_step, noise))
+            (width, rise), per_step, noise, u_hint=Y))
     for _ in range(4):
         center = rng.uniform([1, 0.5, 0.3], [L - 1, W - 0.5, 2.0])
         blob = center + rng.normal(0.0, 0.25, (clutter_points // 4, 3))
@@ -126,32 +144,38 @@ def make_hall_scene(seed=0, points_per_plane=4000, clutter_points=2000,
     per-voxel point gate (FCCF.cpp:486 analog) or into the residual."""
     rng = np.random.default_rng(seed)
     L, W, Hh = hall
+    X = (1.0, 0.0, 0.0)
+    Y = (0.0, 1.0, 0.0)
     planes = [
-        ((L / 2, W / 2, 0.0), (0, 0, 1), (L, W)),
-        ((L / 2, W / 2, Hh), (0, 0, 1), (L, W)),
-        ((L / 2, 0.0, Hh / 2), (0, 1, 0), (L, Hh)),
-        ((L / 2, W, Hh / 2), (0, 1, 0), (L, Hh)),
-        ((0.0, W / 2, Hh / 2), (1, 0, 0), (W, Hh)),
+        ((L / 2, W / 2, 0.0), (0, 0, 1), (L, W), X),
+        ((L / 2, W / 2, Hh), (0, 0, 1), (L, W), X),
+        ((L / 2, 0.0, Hh / 2), (0, 1, 0), (L, Hh), X),
+        ((L / 2, W, Hh / 2), (0, 1, 0), (L, Hh), X),
+        ((0.0, W / 2, Hh / 2), (1, 0, 0), (W, Hh), Y),
         # angled end facade instead of a square wall (asymmetry)
-        ((L, W / 2, Hh / 2), (0.92, 0.38, 0), (W * 1.1, Hh)),
+        ((L, W / 2, Hh / 2), (0.92, 0.38, 0), (W * 1.1, Hh), Y),
         # mezzanine slab along one side + its slanted stair ramp
-        ((L * 0.3, W * 0.2, Hh * 0.45), (0, 0, 1), (L * 0.5, W * 0.35)),
+        ((L * 0.3, W * 0.2, Hh * 0.45), (0, 0, 1), (L * 0.5, W * 0.35), X),
         ((L * 0.62, W * 0.2, Hh * 0.22),
-         (0.45, 0.0, 0.89), (W * 0.35, Hh * 0.5)),
+         (0.45, 0.0, 0.89), (W * 0.35, Hh * 0.5), Y),
     ]
     parts = [
-        make_plane(rng, np.asarray(c, np.float64), n, e, points_per_plane, noise)
-        for c, n, e in planes
+        make_plane(rng, np.asarray(c, np.float64), n, e, points_per_plane,
+                   noise, u_hint=h)
+        for c, n, e, h in planes
     ]
     # Pillar rows: 4 narrow vertical strips each (0.6 m wide, sub-voxel).
     per_face = max(points_per_plane // (4 * n_pillars), 64)
     for i in range(n_pillars):
         cx = L * (i + 1.0) / (n_pillars + 1.0)
         for cy in (W * 0.3, W * 0.7):
-            for nrm, off in (((1, 0, 0), (0.3, 0.0)), ((0, 1, 0), (0.0, 0.3))):
+            for nrm, off, hint in (
+                ((1, 0, 0), (0.3, 0.0), Y),
+                ((0, 1, 0), (0.0, 0.3), X),
+            ):
                 parts.append(make_plane(
                     rng, np.array([cx + off[0], cy + off[1], Hh * 0.35]),
-                    nrm, (0.6, Hh * 0.7), per_face, noise))
+                    nrm, (0.6, Hh * 0.7), per_face, noise, u_hint=hint))
     for _ in range(6):
         center = rng.uniform([2, 1, 0.3], [L - 2, W - 1, 2.5])
         blob = center + rng.normal(0.0, 0.4, (clutter_points // 6, 3))

@@ -69,17 +69,16 @@ _DENSE_CAPS = dataclasses.replace(  # apartment: raw<=248k, down<=122k,
     max_fine_voxels=2048,
 )
 
-_STRUCTURED_CAPS = dataclasses.replace(  # stairs: raw<=112k, down<=31.7k,
-    _STANDARD_CAPS,                      #   vox<=301, hyp<=1350, res<=12.9k,
-    max_points=98304,                    #   fine<=442
-    max_raw_points=147456,               # hall: raw<=132k, down<=90.9k,
-    max_voxels=4096,                     #   vox<=3145, hyp<=8767, res<=15.2k,
-    max_matches=4096,                    #   fine<=1454
-    max_hypotheses=16384,                # (6 seeds x 2 clouds per family;
-    max_clusters=4096,                   #  /tmp measurement, round-2 log)
+_STRUCTURED_CAPS = dataclasses.replace(  # stairs: raw<=112k, down<=31.2k,
+    _STANDARD_CAPS,                      #   vox<=260, hyp<=715, res<=9.0k,
+    max_points=98304,                    #   fine<=310
+    max_raw_points=147456,               # hall: raw<=132k, down<=91.4k,
+    max_voxels=4096,                     #   vox<=2856, hyp<=4177,
+    max_matches=4096,                    #   res<=22.0k, fine<=1921,
+    max_hypotheses=6144,                 #   <=10 third-plane hits/match
+    max_clusters=4096,                   # (6 seeds x 2 clouds per family)
     max_residual=1 << 15,
-    max_fine_voxels=2048,
-    per_match_hits=32,                   # parallel pillar faces: <=21 hits
+    max_fine_voxels=3072,
 )
 
 _OUTDOOR_CAPS = dataclasses.replace(  # cross-season: raw<=102k, down<=57k,

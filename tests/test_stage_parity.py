@@ -122,7 +122,6 @@ def test_per_match_truncation_keeps_first_slots():
     """per_match_hits truncation must keep each match's FIRST hits in
     reference enumeration order (s-major) and flag the overflow — the
     truncated pool is a strict subset of the untruncated one."""
-    rng = np.random.default_rng(7)
     params = FCCFParams()
 
     def family_faces(seed):

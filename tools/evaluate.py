@@ -30,7 +30,7 @@ def evaluate_config(name, cfg, seeds, batch, rotation_gate=None):
             f"config '{name}' is a sequence-sweep throughput config; its "
             "scene family is evaluated via the office config"
         )
-    fams = cfg.get("scenes")  # mixed-family configs (structured)
+    import bench  # seed-to-scene assignment shared with the benchmark
 
     model = get_model(cfg["model"])
     params, caps = model.params, model.caps
@@ -44,14 +44,7 @@ def evaluate_config(name, cfg, seeds, batch, rotation_gate=None):
     for b0 in range(0, seeds, batch):
         ss = list(range(b0, min(b0 + batch, seeds)))
         ss_eff = ss + [ss[-1]] * (batch - len(ss))
-        pairs = [
-            synthetic.make_pair(
-                seed=s,
-                **(fams[s % len(fams)] if fams else cfg["scene"]),
-                **cfg["pair"],
-            )
-            for s in ss_eff
-        ]
+        pairs = bench.pairs_for_config(cfg, ss_eff)
         sp = np.stack([synthetic.pad_points(p[0], caps.raw_points)[0] for p in pairs])
         sm = np.stack([synthetic.pad_points(p[0], caps.raw_points)[1] for p in pairs])
         tp = np.stack([synthetic.pad_points(p[1], caps.raw_points)[0] for p in pairs])
