@@ -55,6 +55,8 @@ STATUS_DEGENERATE = 4  # no type scored > 0: identity returned
 STATUS_REP_OVERFLOW = 8       # cluster seed/representative capacity exceeded
 STATUS_RESIDUAL_OVERFLOW = 16  # residual cloud truncated to max_residual
 STATUS_FINE_OVERFLOW = 32      # fine-verify source table > max_fine_voxels
+STATUS_FINE_ALIAS = 64  # fine-verify scene span > 1024 cells/axis: wrapped
+#                         voxel keys may merge distinct cells (verify/fine.py)
 
 
 class RegistrationResult(NamedTuple):
@@ -174,8 +176,9 @@ def _register_pair_impl(
         fv = jax.vmap(
             lambda T: fine_verify(T, table, r2_pts, r2_valid, params, caps)
         )
-        fscore_flat = fv(top_T.reshape(3 * K, 4, 4))
+        fscore_flat, falias_flat = fv(top_T.reshape(3 * K, 4, 4))
         fscore = jnp.where(top_valid, fscore_flat.reshape(3, K), 0.0)
+        fine_aliased = jnp.any(falias_flat.reshape(3, K) & top_valid)
 
     # Global score normalization across ALL fine-verified candidates of all
     # types (:1539-1540 accumulate across the type loop), then per-type best
@@ -218,6 +221,7 @@ def _register_pair_impl(
         | jnp.where(reps.overflow, STATUS_REP_OVERFLOW, 0)
         | jnp.where(r1_ovf | r2_ovf, STATUS_RESIDUAL_OVERFLOW, 0)
         | jnp.where(table.overflow, STATUS_FINE_OVERFLOW, 0)
+        | jnp.where(fine_aliased, STATUS_FINE_ALIAS, 0)
     ).astype(jnp.int32)
 
     return RegistrationResult(

@@ -30,18 +30,37 @@ import jax.numpy as jnp
 
 from ..config import Capacities, FCCFParams
 
-_SENTINEL = jnp.int32(2**31 - 1)
+# Keys are 30-bit packed cells promoted to uint32; after the label-bit shift
+# in fine_verify they span 31 bits, so the all-ones uint32 can never collide
+# with a real key in either domain (no axis range is sacrificed to protect
+# the sentinel).
+_SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
-def _pack_keys(points, mask, res):
-    """30-bit packed voxel cell (10 bits/axis with wraparound — exact for
-    scenes under ~512 m at the 0.5 m default; far beyond the ETH scenes).
-    The spare low bit carries the source/target label through the join
-    sort (see fine_verify), saving a payload operand."""
-    k = jnp.floor(points / res).astype(jnp.int32)
-    kx = (k[..., 0] + (1 << 20)) & 1023   # 10 bits
-    ky = (k[..., 1] + (1 << 20)) & 1023   # 10 bits
-    kz = jnp.minimum((k[..., 2] + (1 << 20)) & 1023, 1022)  # avoid sentinel
+def _cells(points, res):
+    """Integer voxel cell per point (absolute anchoring, floor(p/res))."""
+    return jnp.floor(points / res).astype(jnp.int32)
+
+
+def _cell_bounds(cells, mask):
+    """Per-axis (min, max) over the valid cells; empty masks yield an
+    inverted range so the span test below cannot fire."""
+    big = jnp.int32(1 << 30)
+    kmin = jnp.min(jnp.where(mask[..., None], cells, big), axis=-2)
+    kmax = jnp.max(jnp.where(mask[..., None], cells, -big), axis=-2)
+    return kmin, kmax
+
+
+def _pack_cells(cells, mask):
+    """30-bit packed voxel cell (10 bits/axis with wraparound — injective
+    while the joint scene span stays under 1024 cells per axis, ~512 m at
+    the 0.5 m default; ``fine_verify`` checks the span and flags aliasing
+    otherwise instead of degrading silently). The spare low bit carries the
+    source/target label through the join sort (see fine_verify), saving a
+    payload operand."""
+    kx = (cells[..., 0] & 1023).astype(jnp.uint32)   # 10 bits
+    ky = (cells[..., 1] & 1023).astype(jnp.uint32)   # 10 bits
+    kz = (cells[..., 2] & 1023).astype(jnp.uint32)   # 10 bits
     key = (kx << 20) | (ky << 10) | kz
     return jnp.where(mask, key, _SENTINEL)
 
@@ -90,21 +109,33 @@ class SourceTable(NamedTuple):
     counts: jax.Array  # (Vf,) float counts
     n_src: jax.Array   # () total source residual points
     overflow: jax.Array  # () bool, > max_fine_voxels distinct cells (dropped)
+    cell_min: jax.Array  # (3,) int32 per-axis min source cell (alias check)
+    cell_max: jax.Array  # (3,) int32 per-axis max source cell
 
 
 def build_source_table(src_pts, src_mask, params: FCCFParams, caps: Capacities):
-    keys = _pack_keys(src_pts, src_mask, params.fine_voxel)
+    cells = _cells(src_pts, params.fine_voxel)
+    keys = _pack_cells(cells, src_mask)
+    kmin, kmax = _cell_bounds(cells, src_mask)
     ukeys, counts, overflow = _unique_counts(keys, caps.max_fine_voxels)
     return SourceTable(
         keys=ukeys,
         counts=counts,
         n_src=jnp.sum(src_mask.astype(jnp.float32)),
         overflow=overflow,
+        cell_min=kmin,
+        cell_max=kmax,
     )
 
 
 def fine_verify(T, table: SourceTable, tar_pts, tar_mask, params, caps):
-    """Score one candidate transform (:785-839). Returns the scalar score.
+    """Score one candidate transform (:785-839).
+
+    Returns ``(score, aliased)``: ``aliased`` is True when the fused scene's
+    cell span exceeds the 1024-cells-per-axis injective range of the packed
+    key, i.e. when wrapped keys could merge distinct voxels (the reference's
+    octree is extent-unbounded, FCCF.cpp:792-796; here the capacity contract
+    of config.py requires the degradation to be *flagged*, never silent).
 
     Join structure: only voxels holding BOTH labels contribute (:830), and
     those are a subset of the source voxels. The join is ONE sort of
@@ -118,7 +149,14 @@ def fine_verify(T, table: SourceTable, tar_pts, tar_mask, params, caps):
     R = T[:3, :3]
     t = T[:3, 3]
     tar_t = tar_pts @ R.T + t
-    keys_t = _pack_keys(tar_t, tar_mask, params.fine_voxel)
+    cells_t = _cells(tar_t, params.fine_voxel)
+    keys_t = _pack_cells(cells_t, tar_mask)
+    # Alias check on the fused (source ∪ transformed target) cell range:
+    # wraparound keys stay injective iff the joint span per axis is < 1024.
+    tmin, tmax = _cell_bounds(cells_t, tar_mask)
+    jmin = jnp.minimum(table.cell_min, tmin)
+    jmax = jnp.maximum(table.cell_max, tmax)
+    aliased = jnp.any(jmax - jmin >= 1024)
 
     Vf = table.keys.shape[0]
     M = keys_t.shape[0]
@@ -159,4 +197,4 @@ def fine_verify(T, table: SourceTable, tar_pts, tar_mask, params, caps):
         jnp.where(live, (s_cnt + t_cnt) * mn / jnp.maximum(mx, 1.0), 0.0)
     )
     total = table.n_src + jnp.sum(tar_mask.astype(jnp.float32))
-    return similar / jnp.maximum(total, 1.0)
+    return similar / jnp.maximum(total, 1.0), aliased

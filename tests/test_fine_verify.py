@@ -54,13 +54,12 @@ def test_score_matches_numpy_golden():
 
     table = build_source_table(jnp.asarray(src_p), jnp.asarray(src_m), params, caps)
     T = jnp.eye(4)
-    got = float(
-        jax.jit(
-            lambda T, tp, tm: fine_verify(T, table, tp, tm, params, caps)
-        )(T, jnp.asarray(tar_p), jnp.asarray(tar_m))
-    )
+    got, aliased = jax.jit(
+        lambda T, tp, tm: fine_verify(T, table, tp, tm, params, caps)
+    )(T, jnp.asarray(tar_p), jnp.asarray(tar_m))
     want = _np_fine(src, tar, params.fine_voxel)
-    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+    assert not bool(aliased)
 
 
 def test_transform_is_applied():
@@ -85,5 +84,49 @@ def test_transform_is_applied():
     f = jax.jit(lambda T: fine_verify(T, table, tp, tm, params, caps))
     T_good = jnp.eye(4).at[:3, 3].set(jnp.asarray(offset))
     T_bad = jnp.eye(4)
-    assert float(f(T_good)) > 0.9  # identical clouds overlap perfectly
-    assert float(f(T_bad)) == 0.0
+    assert float(f(T_good)[0]) > 0.9  # identical clouds overlap perfectly
+    assert float(f(T_bad)[0]) == 0.0
+
+
+def test_alias_flag_on_wide_scenes():
+    """Scenes whose fused cell span exceeds 1024 cells/axis must raise the
+    aliased flag (the packed 10-bit/axis key wraps); in-range scenes at
+    negative coordinates must not, and negative-z cells must stay distinct
+    (regression: the old int32 packing clamped wrapped z=1023 onto 1022,
+    merging the two 0.5 m slabs just below the origin)."""
+    params = FCCFParams()
+    caps = TEST_CAPS
+    rng = np.random.default_rng(2)
+
+    def pad(x):
+        cap = caps.max_residual
+        p = np.zeros((cap, 3), np.float32)
+        p[: len(x)] = x
+        m = np.zeros(cap, bool)
+        m[: len(x)] = True
+        return jnp.asarray(p), jnp.asarray(m)
+
+    near = rng.uniform(-8, 8, (300, 3)).astype(np.float32)
+    far = near + np.array([700.0, 0.0, 0.0], np.float32)  # 1400 cells away
+
+    # in-range: span 16 m, straddling the origin
+    sp, sm = pad(near)
+    table = build_source_table(sp, sm, params, caps)
+    score, aliased = fine_verify(jnp.eye(4), table, sp, sm, params, caps)
+    assert not bool(aliased) and float(score) > 0.9
+
+    # source far from target: fused span > 1024 cells -> flagged
+    tp, tm = pad(far)
+    score, aliased = fine_verify(jnp.eye(4), table, tp, tm, params, caps)
+    assert bool(aliased)
+
+    # z slabs [-1,-0.5) and [-0.5,0) must score as distinct cells: a cloud
+    # in the lower slab vs one in the upper slab overlaps nowhere.
+    lo = rng.uniform([0, 0, -0.95], [4, 4, -0.55], (400, 3)).astype(np.float32)
+    hi = lo + np.array([0, 0, 0.5], np.float32)
+    sp, sm = pad(lo)
+    tp, tm = pad(hi)
+    table = build_source_table(sp, sm, params, caps)
+    score, aliased = fine_verify(jnp.eye(4), table, tp, tm, params, caps)
+    assert not bool(aliased)
+    assert float(score) == 0.0

@@ -18,6 +18,7 @@ import pytest
 from fccf_pcr_tpu import make_register_fn
 from fccf_pcr_tpu.io import synthetic
 from fccf_pcr_tpu.pipeline.register import (
+    STATUS_FINE_ALIAS,
     STATUS_FINE_OVERFLOW,
     STATUS_HYPOTHESIS_OVERFLOW,
     STATUS_REP_OVERFLOW,
@@ -79,6 +80,25 @@ def test_per_match_hits_overflow_flagged(params, caps):
     # (measured up to 9 hits/match) must truncate and flag.
     status = _run(params, caps.replace(per_match_hits=1))
     assert status & STATUS_HYPOTHESIS_OVERFLOW
+
+
+def test_fine_alias_flagged(params, caps):
+    # A far-away clutter cluster stretches the residual clouds' cell span
+    # past the 1024-cells-per-axis injective range of the packed fine-verify
+    # key (>512 m at the 0.5 m default): the wrap must be FLAGGED, never
+    # silent (the reference octree is extent-unbounded, FCCF.cpp:792-796).
+    src, tar, _ = synthetic.make_pair(
+        seed=3, points_per_plane=1500, clutter_points=900
+    )
+    rng = np.random.default_rng(7)
+    far = rng.uniform(600.0, 604.0, (200, 3)).astype(np.float32)
+    src = np.concatenate([src, far])
+    tar = np.concatenate([tar, far])
+    sp, sm = synthetic.pad_points(src, caps.max_points)
+    tp, tm = synthetic.pad_points(tar, caps.max_points)
+    res = make_register_fn(params, caps)(sp, sm, tp, tm)
+    assert np.isfinite(np.asarray(res.transform)).all()
+    assert int(res.status) & STATUS_FINE_ALIAS
 
 
 def test_no_spurious_overflow(params, caps):
