@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..config import Capacities, FCCFParams
 from ..ops import eigen3, geometry
-from ..ops.voxelize import voxel_stats
+from ..ops.voxelize import compact, voxel_stats
 
 _BIG = jnp.int32(2**30)
 
@@ -80,13 +80,19 @@ def _pairwise_affinity(normal, centroid, valid, angle_thresh_deg, l, k):
     return vv & ok_normal & ok_plane
 
 
-def _label_components(normal, centroid, valid, angle_thresh, l, k, params):
+def _label_components(normal, centroid, valid, angle_thresh, l, k, params,
+                      bound=None):
     """Connected-component min labels of the affinity graph.
 
     TPU backends use the fused Pallas kernel (ops/pallas/label_prop.py):
     predicates computed on the fly in VMEM, Gauss-Seidel sweeps, no (V, V)
     materialization. Other backends (CPU tests, multichip dryrun) use the
     XLA affinity-matrix path — both reach the same fixpoint.
+
+    ``bound`` (traced int32): upper bound on valid slot indices (occupied
+    prefix length). Purely a runtime work bound for the kernel path; the
+    XLA path ignores it (its sweeps are full fixed-shape matmuls either
+    way).
     """
     V = normal.shape[0]
     if (
@@ -96,7 +102,9 @@ def _label_components(normal, centroid, valid, angle_thresh, l, k, params):
     ):
         from ..ops.pallas.label_prop import label_propagate_pallas
 
-        return label_propagate_pallas(normal, centroid, valid, angle_thresh, l, k)
+        return label_propagate_pallas(
+            normal, centroid, valid, angle_thresh, l, k, bound=bound
+        )
     aff = _pairwise_affinity(normal, centroid, valid, angle_thresh, l, k)
     return _label_propagate(aff, valid, params.label_prop_iters)
 
@@ -256,9 +264,13 @@ def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps,
     residual_mask = gate_pt & (point_voxel < V)
 
     # Pass 1: voxel -> face growth (compare_normal 5deg, l1/k1) (:536-593).
+    # Occupied voxel slots are prefix-compacted (consecutive seg ids from
+    # the sorted keys), so the max planar slot bounds the kernel's sweep
+    # work at runtime.
+    n_occ = jnp.max(jnp.where(vvalid, jnp.arange(V, dtype=jnp.int32), -1)) + 1
     labels1 = _label_components(
         normal, vs.centroid, vvalid, params.normal_thresh1, params.l1,
-        params.k1, params,
+        params.k1, params, bound=n_occ,
     )
 
     c1, n1, p1, vc1 = _face_stats(
@@ -267,10 +279,23 @@ def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps,
     rep1 = vvalid & (labels1 == jnp.arange(V))
 
     # Pass 2: face <-> face merge to fixpoint (compare_normal 8deg, l2/k2)
-    # (:595-648). Same propagation primitive over face-representative slots.
-    labels2 = _label_components(
-        n1, c1, rep1, params.normal_thresh2, params.l2, params.k2, params
+    # (:595-648). Same propagation primitive over face-representative
+    # slots — but representatives are SCATTERED component-min slots, only
+    # a few hundred of them, so they are compacted to a slot prefix first
+    # and the merge propagation runs at n_reps^2 (not V^2) sweep cost.
+    # Compaction is stable (order-preserving), so the component-min
+    # compact index maps back to the component-min slot index: labels are
+    # bit-identical to running the propagation in slot space.
+    n_reps, _, cvalid, c_n1, c_c1, slot_of = compact(
+        rep1, V, n1, c1, jnp.arange(V, dtype=jnp.int32)
     )
+    labels2_c = _label_components(
+        c_n1, c_c1, cvalid, params.normal_thresh2, params.l2, params.k2,
+        params, bound=n_reps,
+    )
+    comp_of_slot = jnp.cumsum(rep1.astype(jnp.int32)) - 1
+    lbl_c = labels2_c[jnp.clip(comp_of_slot, 0, V - 1)]
+    labels2 = jnp.where(rep1, slot_of[jnp.minimum(lbl_c, V - 1)], _BIG)
 
     final_label = jnp.where(vvalid, labels2[jnp.minimum(labels1, V - 1)], _BIG)
     cF, nF, pF, vcF = _face_stats(

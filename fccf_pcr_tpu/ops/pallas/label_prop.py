@@ -42,6 +42,7 @@ def _sweep_kernel(
     statsT_ref,  # (V, 16) voxel-major fields
     stats_ref,   # (16, V) field-major fields
     params_ref,  # (1, 4) SMEM: cos_gate, l, k, n_sweeps(unused)
+    bound_ref,   # (1, 1) SMEM int32: occupied-slot prefix length (<= V)
     labels_in_ref,   # (1, V) int32 (aliased to labels_ref; unused directly)
     labels_ref,  # (1, V) int32 output, updated in place across grid steps
     changed_ref,  # (1, 1) int32 SMEM out
@@ -56,6 +57,7 @@ def _sweep_kernel(
     cos_gate = params_ref[0, 0]
     l = params_ref[0, 1]
     k = params_ref[0, 2]
+    bound = bound_ref[0, 0]
 
     @pl.when((s == 0) & (ib == 0))
     def _():
@@ -65,72 +67,82 @@ def _sweep_kernel(
         # explicitly before the first sweep reads it.
         labels_ref[...] = labels_in_ref[...]
 
-    # i-block columns (BI, 1)
-    nhx_i = statsT_ref[pl.ds(i0, BI), 0:1]
-    nhy_i = statsT_ref[pl.ds(i0, BI), 1:2]
-    nhz_i = statsT_ref[pl.ds(i0, BI), 2:3]
-    cx_i = statsT_ref[pl.ds(i0, BI), 3:4]
-    cy_i = statsT_ref[pl.ds(i0, BI), 4:5]
-    cz_i = statsT_ref[pl.ds(i0, BI), 5:6]
-    rdc_i = statsT_ref[pl.ds(i0, BI), 6:7]
-    c2_i = statsT_ref[pl.ds(i0, BI), 7:8]
-    rnx_i = statsT_ref[pl.ds(i0, BI), 8:9]
-    rny_i = statsT_ref[pl.ds(i0, BI), 9:10]
-    rnz_i = statsT_ref[pl.ds(i0, BI), 10:11]
-    valid_i = statsT_ref[pl.ds(i0, BI), 11:12]
+    # Slots at index >= bound are all invalid (callers pass the occupied
+    # prefix length): their labels stay at the seeded value and they can
+    # never join an affinity, so both the i-block update and the j-chunk
+    # scan stop at the bound. With prefix-compacted voxel slots this
+    # skips the (V - bound)^2 dead corner of every sweep at runtime.
+    @pl.when(i0 < bound)
+    def _active_block():
+        # i-block columns (BI, 1)
+        nhx_i = statsT_ref[pl.ds(i0, BI), 0:1]
+        nhy_i = statsT_ref[pl.ds(i0, BI), 1:2]
+        nhz_i = statsT_ref[pl.ds(i0, BI), 2:3]
+        cx_i = statsT_ref[pl.ds(i0, BI), 3:4]
+        cy_i = statsT_ref[pl.ds(i0, BI), 4:5]
+        cz_i = statsT_ref[pl.ds(i0, BI), 5:6]
+        rdc_i = statsT_ref[pl.ds(i0, BI), 6:7]
+        c2_i = statsT_ref[pl.ds(i0, BI), 7:8]
+        rnx_i = statsT_ref[pl.ds(i0, BI), 8:9]
+        rny_i = statsT_ref[pl.ds(i0, BI), 9:10]
+        rnz_i = statsT_ref[pl.ds(i0, BI), 10:11]
+        valid_i = statsT_ref[pl.ds(i0, BI), 11:12]
 
-    def j_chunk(jc, cand):
-        j0 = jc * BJ
-        nhx_j = stats_ref[0:1, pl.ds(j0, BJ)]
-        nhy_j = stats_ref[1:2, pl.ds(j0, BJ)]
-        nhz_j = stats_ref[2:3, pl.ds(j0, BJ)]
-        cx_j = stats_ref[3:4, pl.ds(j0, BJ)]
-        cy_j = stats_ref[4:5, pl.ds(j0, BJ)]
-        cz_j = stats_ref[5:6, pl.ds(j0, BJ)]
-        rdc_j = stats_ref[6:7, pl.ds(j0, BJ)]
-        c2_j = stats_ref[7:8, pl.ds(j0, BJ)]
-        rnx_j = stats_ref[8:9, pl.ds(j0, BJ)]
-        rny_j = stats_ref[9:10, pl.ds(j0, BJ)]
-        rnz_j = stats_ref[10:11, pl.ds(j0, BJ)]
-        valid_j = stats_ref[11:12, pl.ds(j0, BJ)]
+        def j_chunk(jc, cand):
+            j0 = jc * BJ
+            nhx_j = stats_ref[0:1, pl.ds(j0, BJ)]
+            nhy_j = stats_ref[1:2, pl.ds(j0, BJ)]
+            nhz_j = stats_ref[2:3, pl.ds(j0, BJ)]
+            cx_j = stats_ref[3:4, pl.ds(j0, BJ)]
+            cy_j = stats_ref[4:5, pl.ds(j0, BJ)]
+            cz_j = stats_ref[5:6, pl.ds(j0, BJ)]
+            rdc_j = stats_ref[6:7, pl.ds(j0, BJ)]
+            c2_j = stats_ref[7:8, pl.ds(j0, BJ)]
+            rnx_j = stats_ref[8:9, pl.ds(j0, BJ)]
+            rny_j = stats_ref[9:10, pl.ds(j0, BJ)]
+            rnz_j = stats_ref[10:11, pl.ds(j0, BJ)]
+            valid_j = stats_ref[11:12, pl.ds(j0, BJ)]
 
-        # (BI, BJ) broadcasting: column (BI,1) x row (1,BJ)
-        cosm = nhx_i * nhx_j + nhy_i * nhy_j + nhz_i * nhz_j
-        cicj = cx_i * cx_j + cy_i * cy_j + cz_i * cz_j
-        d2 = jnp.maximum(c2_i + c2_j - 2.0 * cicj, 0.0)
-        dist = jnp.sqrt(d2)
-        # m1 = rn_i . (c_i - c_j); m2 = rn_j . (c_i - c_j)
-        m1 = rdc_i - (rnx_i * cx_j + rny_i * cy_j + rnz_i * cz_j)
-        m2 = (rnx_j * cx_i + rny_j * cy_i + rnz_j * cz_i) - rdc_j
-        # |m| * (k*dist + 1) < l * dist  <=>  |m|/dist < l/(k*dist+1)
-        lim = l * dist
-        kd = k * dist + 1.0
-        plane_ok = (jnp.abs(m1) * kd < lim) & (jnp.abs(m2) * kd < lim)
-        plane_ok = plane_ok | (dist <= 1e-9)
-        aff = (
-            (cosm >= cos_gate)
-            & plane_ok
-            & (valid_i > 0.5)
-            & (valid_j > 0.5)
+            # (BI, BJ) broadcasting: column (BI,1) x row (1,BJ)
+            cosm = nhx_i * nhx_j + nhy_i * nhy_j + nhz_i * nhz_j
+            cicj = cx_i * cx_j + cy_i * cy_j + cz_i * cz_j
+            d2 = jnp.maximum(c2_i + c2_j - 2.0 * cicj, 0.0)
+            dist = jnp.sqrt(d2)
+            # m1 = rn_i . (c_i - c_j); m2 = rn_j . (c_i - c_j)
+            m1 = rdc_i - (rnx_i * cx_j + rny_i * cy_j + rnz_i * cz_j)
+            m2 = (rnx_j * cx_i + rny_j * cy_i + rnz_j * cz_i) - rdc_j
+            # |m| * (k*dist + 1) < l * dist  <=>  |m|/dist < l/(k*dist+1)
+            lim = l * dist
+            kd = k * dist + 1.0
+            plane_ok = (jnp.abs(m1) * kd < lim) & (jnp.abs(m2) * kd < lim)
+            plane_ok = plane_ok | (dist <= 1e-9)
+            aff = (
+                (cosm >= cos_gate)
+                & plane_ok
+                & (valid_i > 0.5)
+                & (valid_j > 0.5)
+            )
+
+            lbl_j = labels_ref[0:1, pl.ds(j0, BJ)]
+            c = jnp.min(
+                jnp.where(aff, lbl_j, jnp.int32(_BIG)), axis=1, keepdims=True
+            )
+            return jnp.minimum(cand, c)
+
+        nb = (bound + BJ - 1) // BJ
+        cand = jax.lax.fori_loop(
+            0, nb, j_chunk, jnp.full((BI, 1), _BIG, jnp.int32)
         )
 
-        lbl_j = labels_ref[0:1, pl.ds(j0, BJ)]
-        c = jnp.min(jnp.where(aff, lbl_j, jnp.int32(_BIG)), axis=1, keepdims=True)
-        return jnp.minimum(cand, c)
+        cur = labels_ref[0:1, pl.ds(i0, BI)]
+        new = jnp.minimum(cur, cand.reshape(1, BI))
+        any_change = jnp.any(new != cur)
 
-    cand = jax.lax.fori_loop(
-        0, V // BJ, j_chunk, jnp.full((BI, 1), _BIG, jnp.int32)
-    )
+        @pl.when((s == n_s - 1) & any_change)
+        def _():
+            changed_ref[0, 0] = 1
 
-    cur = labels_ref[0:1, pl.ds(i0, BI)]
-    new = jnp.minimum(cur, cand.reshape(1, BI))
-    any_change = jnp.any(new != cur)
-
-    @pl.when((s == n_s - 1) & any_change)
-    def _():
-        changed_ref[0, 0] = 1
-
-    labels_ref[0:1, pl.ds(i0, BI)] = new
+        labels_ref[0:1, pl.ds(i0, BI)] = new
 
 
 def _pack_stats(normal, centroid, valid, angle_thresh_deg):
@@ -160,15 +172,25 @@ def _pack_stats(normal, centroid, valid, angle_thresh_deg):
 def label_propagate_pallas(
     normal, centroid, valid, angle_thresh_deg, l, k,
     sweeps_per_call: int = 2, max_calls: int = 32, interpret: bool = False,
+    bound=None,
 ):
     """Connected-component min labels of the affinity graph, via the fused
     kernel. Semantically identical to features.faces._pairwise_affinity +
-    _label_propagate (Gauss-Seidel ordering reaches the same fixpoint)."""
+    _label_propagate (Gauss-Seidel ordering reaches the same fixpoint).
+
+    ``bound`` (traced int32, optional): every valid slot index is < bound.
+    With prefix-compacted slots this prunes each sweep to the occupied
+    (bound, bound) corner at runtime; semantics are unchanged because
+    out-of-bound slots are invalid by contract (asserted in interpret/test
+    paths by the caller)."""
     V = normal.shape[0]
     assert V % BI == 0 and V % BJ == 0, f"V={V} must be a multiple of {BJ}"
     statsT, stats = _pack_stats(normal, centroid, valid, angle_thresh_deg)
     cos_gate = jnp.cos(jnp.deg2rad(angle_thresh_deg)).astype(normal.dtype)
     params = jnp.array([[cos_gate, l, k, 0.0]], normal.dtype)
+    if bound is None:
+        bound = jnp.int32(V)
+    bound_arr = jnp.asarray(bound, jnp.int32).reshape(1, 1)
     labels0 = jnp.where(valid, jnp.arange(V, dtype=jnp.int32), _BIG).reshape(1, V)
 
     call = pl.pallas_call(
@@ -178,6 +200,7 @@ def label_propagate_pallas(
             pl.BlockSpec((V, 16), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, V), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4), lambda s, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda s, i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, V), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -188,7 +211,7 @@ def label_propagate_pallas(
             jax.ShapeDtypeStruct((1, V), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
-        input_output_aliases={3: 0},
+        input_output_aliases={4: 0},
         interpret=interpret,
     )
 
@@ -206,14 +229,14 @@ def label_propagate_pallas(
 
     def body(state):
         labels, _, it = state
-        labels, changed = call(statsT, stats, params, labels)
+        labels, changed = call(statsT, stats, params, bound_arr, labels)
         return jump(labels), changed[0, 0] > 0, it + 1
 
     def cond(state):
         _, changed, it = state
         return changed & (it < max_calls)
 
-    labels, changed0 = call(statsT, stats, params, labels0)
+    labels, changed0 = call(statsT, stats, params, bound_arr, labels0)
     labels, _, _ = jax.lax.while_loop(
         cond, body, (jump(labels), changed0[0, 0] > 0, jnp.int32(1))
     )

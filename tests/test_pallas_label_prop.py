@@ -40,3 +40,39 @@ def test_kernel_matches_xla_path(seed):
         label_propagate_pallas(*args, sweeps_per_call=2, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("prefix", [1, 130, 512])
+def test_kernel_bound_prunes_identically(prefix):
+    """A runtime occupancy bound covering all valid slots must not change
+    the fixpoint (slots past the bound are invalid by contract)."""
+    rng = np.random.default_rng(7)
+    V = 512
+    n_groups = 5
+    gn = rng.normal(size=(n_groups, 3))
+    gn /= np.linalg.norm(gn, axis=1, keepdims=True)
+    gc = rng.uniform(-10, 10, (n_groups, 3))
+    which = rng.integers(0, n_groups, V)
+    normal = (gn[which] + rng.normal(0, 0.01, (V, 3))).astype(np.float32)
+    offsets = rng.uniform(-4, 4, (V, 3)).astype(np.float32)
+    offsets -= (offsets * gn[which]).sum(1, keepdims=True) * gn[which]
+    centroid = (gc[which] + offsets).astype(np.float32)
+    valid = np.arange(V) < prefix  # prefix-compacted occupancy
+
+    args = (
+        jnp.asarray(normal),
+        jnp.asarray(centroid),
+        jnp.asarray(valid),
+        5.0,
+        0.5,
+        5.0,
+    )
+    aff = _pairwise_affinity(*args)
+    want = np.asarray(_label_propagate(aff, jnp.asarray(valid), 64))
+    got = np.asarray(
+        label_propagate_pallas(
+            *args, sweeps_per_call=2, interpret=True,
+            bound=jnp.int32(prefix),
+        )
+    )
+    np.testing.assert_array_equal(got, want)
