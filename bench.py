@@ -63,6 +63,19 @@ CONFIGS = {
                       noise=0.004),
         pair=dict(),
     ),
+    "resso": dict(  # RESSO building-exterior proxy (~50 m extent, outdoor
+        model="resso",  # noise, few very large planes; Table I scenes 6i-7e)
+        scene=dict(scene="facade", density=18.0, clutter_points=6000,
+                   noise=0.012),
+        pair=dict(max_angle_deg=40.0, max_trans=6.0, dropout=0.25),
+    ),
+    "heritage": dict(  # Heritage proxy: >100 m courtyard, the reference's
+        model="heritage",  # hardest published scene (2.66 s, Table I)
+        scene=dict(scene="courtyard", density=14.0, clutter_points=8000,
+                   noise=0.015),
+        pair=dict(max_angle_deg=40.0, max_trans=8.0, dropout=0.25),
+        batch=4,  # ~230k-point clouds: half the batch, same steady math
+    ),
 }
 
 
@@ -84,7 +97,24 @@ def pairs_for_config(cfg, seeds):
     ]
 
 
-def make_record(pairs_per_s, rre, rte):
+# Per-config accuracy gates (max over the batch), sized ~3x the measured
+# maxima (docs/PERFORMANCE.md) so a real regression cannot hide behind a
+# loose global band: e.g. office measures RRE max 0.12 deg / RTE max
+# 0.028 m — a 0.5 deg error there IS a regression even though it would
+# pass the old global 2 deg gate. Configs absent here use the global
+# fallback (2 deg / 0.3 m — also the evaluation success criterion).
+GATES = {
+    "office": (0.5, 0.08),
+    "apartment": (0.5, 0.08),
+    "structured": (2.0, 0.2),
+    "cross-season": (1.0, 0.15),
+    "sweep": (1.0, 0.15),
+    "resso": (1.0, 0.25),
+    "heritage": (1.5, 0.3),  # ref's own Heritage row: 0.72 deg / 0.27 m
+}
+
+
+def make_record(pairs_per_s, rre, rte, gate=(2.0, 0.3)):
     """Build the headline JSON record, gated on the accuracy check.
 
     A fast-but-wrong pipeline must not record a clean headline number: the
@@ -92,7 +122,7 @@ def make_record(pairs_per_s, rre, rte):
     accuracy fields travel with the record either way.
     """
     rre, rte = np.asarray(rre), np.asarray(rte)
-    ok = bool((rre < 2.0).all() and (rte < 0.3).all())
+    ok = bool((rre < gate[0]).all() and (rte < gate[1]).all())
     record = {
         "metric": "scan_pairs_registered_per_sec_per_chip",
         "value": round(pairs_per_s, 3) if ok else 0.0,
@@ -118,7 +148,7 @@ def run_config(name, cfg, emit_json):
     dev = jax.devices()[0]
     print(f"# [{name}] device: {dev}", file=sys.stderr)
 
-    B = 8  # pairs per batched step
+    B = cfg.get("batch", 8)  # pairs per batched step
     model = get_model(cfg["model"])
     params, caps = model.params, model.caps
 
@@ -211,10 +241,11 @@ def run_config(name, cfg, emit_json):
         f"status {status.tolist()}",
         file=sys.stderr,
     )
-    if not bool((rre < 2.0).all() and (rte < 0.3).all()):
-        print("# ERROR: accuracy check failed on synthetic pairs — the "
-              "throughput record below is marked accuracy_ok=false",
-              file=sys.stderr)
+    gate = GATES.get(name, (2.0, 0.3))
+    if not bool((rre < gate[0]).all() and (rte < gate[1]).all()):
+        print(f"# ERROR: accuracy check failed (gate RRE<{gate[0]} deg, "
+              f"RTE<{gate[1]} m) — the throughput record below is marked "
+              "accuracy_ok=false", file=sys.stderr)
 
     # steady state
     iters = 5
@@ -228,7 +259,7 @@ def run_config(name, cfg, emit_json):
     print(f"# steady step: {dt * 1e3:.1f} ms for {len(pairs)} pairs",
           file=sys.stderr)
 
-    record = make_record(pairs_per_s, rre, rte)
+    record = make_record(pairs_per_s, rre, rte, gate=gate)
     if emit_json:
         print(json.dumps(record))
     else:

@@ -106,10 +106,14 @@ class Capacities:
     max_clusters: int = 2048      # sorted seed clusters walked during emission
     max_residual: int = 1 << 16   # residual (non-planar) points kept per cloud
     # Third-plane hits extracted per base match before global compaction
-    # (hypotheses/transforms.py two-stage extraction). Indoor-room scenes
-    # measure <= 9 hits/match; scenes dominated by families of parallel
-    # planes (pillar halls) measure up to 21 — extras beyond this bound
-    # are dropped in reference enumeration order and flag overflow.
+    # (hypotheses/transforms.py two-stage extraction). Measured maxima
+    # (tools/measure_content.py, 8 seeds/family at bench geometry):
+    # indoor rooms <= 9, stair flights <= 12, pillar halls <= 11,
+    # building courtyards <= 14 (colonnade parallel-plane fan-out; the
+    # heritage preset raises this to 24). Extras beyond the bound are
+    # dropped in reference enumeration order and flag overflow. (An
+    # earlier "up to 21 on pillar halls" measurement predated the
+    # round-2 scene-generator orientation fix and is obsolete.)
     per_match_hits: int = 16
     max_fine_voxels: int = 1 << 15  # occupied 0.5m voxels in fine verify
     # Raw-load capacity for the CLI-level pre-downsample (FCCF.cpp:1668-1678,

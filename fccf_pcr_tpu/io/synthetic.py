@@ -183,10 +183,136 @@ def make_hall_scene(seed=0, points_per_plane=4000, clutter_points=2000,
     return np.concatenate(parts, axis=0).astype(np.float32)
 
 
+def _area_plane(rng, center, normal, extent, density, noise, u_hint=None,
+                min_points=96):
+    """make_plane with the point count set by surface density (pts/m^2) —
+    building-scale patches vary over two orders of magnitude in area, so a
+    fixed per-plane budget would leave big facades too sparse to pass the
+    per-voxel point gate (FCCF.cpp:486) while drowning small features."""
+    n = max(int(extent[0] * extent[1] * density), min_points)
+    return make_plane(rng, np.asarray(center, np.float64), normal, extent,
+                      n, noise, u_hint=u_hint)
+
+
+def make_facade_scene(seed=0, density=18.0, clutter_points=6000,
+                      noise=0.012, block=(52.0, 36.0, 16.0)):
+    """RESSO proxy: a building-exterior block scan (~50 m extent).
+
+    Two street facades with an annex wing at an odd angle, a sloped roof
+    plane, a partial ground apron, and an interior courtyard wall — the
+    plane statistics of the RESSO building scans (BASELINE.md Table I,
+    scenes 6i-7e): few very large planes, tens of meters apart, outdoor
+    noise. ``density`` is points/m^2 (LiDAR-like sparse coverage rather
+    than the indoor scenes' fixed per-plane budgets).
+    """
+    rng = np.random.default_rng(seed)
+    L, W, Hh = block
+    X = (1.0, 0.0, 0.0)
+    Y = (0.0, 1.0, 0.0)
+    planes = [
+        # main street facade + side facade
+        ((L / 2, 0.0, Hh / 2), (0, 1, 0), (L, Hh), X),
+        ((0.0, W / 2, Hh / 2), (1, 0, 0), (W, Hh), Y),
+        # back facade (slightly angled - breaks the box symmetry)
+        ((L / 2, W, Hh / 2), (0.1, 0.99, 0), (L, Hh), X),
+        # annex wing at an odd angle off the side facade
+        ((L * 0.75, W * 0.72, Hh * 0.31),
+         (0.62, -0.78, 0), (W * 0.55, Hh * 0.62), (0.78, 0.62, 0.0)),
+        # ground apron around the block (partial: scans see near-ground)
+        ((L / 2, W * 0.28, 0.0), (0, 0, 1), (L * 0.9, W * 0.5), X),
+        # sloped roof plane visible from across the street
+        ((L / 2, W * 0.35, Hh + 2.0), (0, 0.45, 0.89), (L * 0.8, 9.0), X),
+        # courtyard wall fragment, lower height
+        ((L * 0.3, W * 0.55, Hh * 0.2), (0.95, 0.31, 0),
+         (W * 0.3, Hh * 0.4), (0.31, -0.95, 0.0)),
+    ]
+    parts = [
+        _area_plane(rng, c, n, e, density, noise, u_hint=h)
+        for c, n, e, h in planes
+    ]
+    # Street furniture / vegetation clutter (residual-cloud fodder).
+    for _ in range(8):
+        center = rng.uniform([3, -2, 0.3], [L - 3, W * 0.5, 3.0])
+        blob = center + rng.normal(0.0, 0.5, (clutter_points // 8, 3))
+        parts.append(blob)
+    return np.concatenate(parts, axis=0).astype(np.float32)
+
+
+def make_courtyard_scene(seed=0, density=14.0, clutter_points=8000,
+                         noise=0.015, court=(108.0, 86.0, 20.0),
+                         n_columns=10):
+    """Heritage proxy: a large historic courtyard scan (>100 m extent —
+    the Table I scale of the reference's hardest published scene,
+    Heritage, 2.66 s). Ground, four high facades (one angled, one with a
+    recessed gallery), a colonnade of thick square columns along one
+    side, and a tower corner. Column faces are ~1.2 m wide: a family of
+    many parallel planes, the building-scale analog of the pillar-hall
+    third-plane fan-out (per_match_hits sizing)."""
+    rng = np.random.default_rng(seed)
+    L, W, Hh = court
+    X = (1.0, 0.0, 0.0)
+    Y = (0.0, 1.0, 0.0)
+    planes = [
+        # courtyard ground (scans cover most of it)
+        ((L / 2, W / 2, 0.0), (0, 0, 1), (L, W), X),
+        # four facades; the far one strongly angled — a courtyard that is
+        # a true rectangle is 90/180-degree ambiguous to any plane-based
+        # matcher (the base included-angle gate is 5 deg, so symmetry
+        # breaks must exceed it by a wide margin)
+        ((L / 2, 0.0, Hh / 2), (0, 1, 0), (L, Hh), X),
+        ((L / 2, W, Hh / 2), (0.26, 0.97, 0), (L, Hh), X),
+        ((0.0, W / 2, Hh / 2), (1, 0, 0), (W, Hh), Y),
+        ((L, W / 2, Hh * 0.38), (1, 0, 0), (W, Hh * 0.75), Y),
+        # large diagonal wing wall crossing one corner (~42 deg: the
+        # dominant symmetry breaker, like the hall's angled end facade)
+        ((L * 0.78, W * 0.78, Hh * 0.45), (0.67, 0.74, 0),
+         (W * 0.55, Hh * 0.9), (0.74, -0.67, 0.0)),
+        # recessed gallery wall behind the colonnade side (10+ m recess:
+        # closer parallel pairs alias against the 2 m coplanarity gate)
+        ((L / 2, W * 0.12, Hh * 0.2), (0, 1, 0), (L * 0.6, Hh * 0.4), X),
+        # tower corner: two higher wall panels past the main roofline
+        ((L * 0.12, W * 0.97, Hh * 1.3), (0, 1, 0), (L * 0.2, Hh * 0.6), X),
+        ((L * 0.02, W * 0.88, Hh * 1.3), (1, 0, 0), (W * 0.18, Hh * 0.6), Y),
+        # broad entrance ramp, tilted off every axis
+        ((L * 0.78, W * 0.45, 1.4), (-0.22, 0.14, 0.97),
+         (L * 0.18, W * 0.22), X),
+        # sloped porch roof over the gallery (non-vertical large plane)
+        ((L * 0.35, W * 0.1, Hh * 0.55), (0, 0.5, 0.87),
+         (L * 0.4, 6.0), X),
+    ]
+    parts = [
+        _area_plane(rng, c, n, e, density, noise, u_hint=h)
+        for c, n, e, h in planes
+    ]
+    # Colonnade: thick square columns (1.2 m faces, 8 m tall) along the
+    # gallery side — many parallel sub-facade planes.
+    col_density = density * 1.5  # columns are near the scanner path
+    for i in range(n_columns):
+        cx = L * (i + 1.0) / (n_columns + 1.0)
+        cy = W * 0.12
+        for nrm, off, hint in (
+            ((0, 1, 0), (0.0, 0.6), X),
+            ((0, 1, 0), (0.0, -0.6), X),
+            ((1, 0, 0), (0.6, 0.0), Y),
+            ((1, 0, 0), (-0.6, 0.0), Y),
+        ):
+            parts.append(_area_plane(
+                rng, (cx + off[0], cy + off[1], 4.0), nrm, (1.2, 8.0),
+                col_density, noise, u_hint=hint))
+    # Statues / vegetation / visitors: non-planar clutter.
+    for _ in range(10):
+        center = rng.uniform([5, 5, 0.3], [L - 5, W - 5, 3.5])
+        blob = center + rng.normal(0.0, 0.6, (clutter_points // 10, 3))
+        parts.append(blob)
+    return np.concatenate(parts, axis=0).astype(np.float32)
+
+
 SCENES = {
     "room": make_room_scene,
     "stairs": make_stairs_scene,
     "hall": make_hall_scene,
+    "facade": make_facade_scene,
+    "courtyard": make_courtyard_scene,
 }
 
 

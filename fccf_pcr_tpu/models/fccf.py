@@ -70,14 +70,14 @@ _DENSE_CAPS = dataclasses.replace(  # apartment: raw<=248k, down<=122k,
 )
 
 _STRUCTURED_CAPS = dataclasses.replace(  # stairs: raw<=112k, down<=31.2k,
-    _STANDARD_CAPS,                      #   vox<=260, hyp<=715, res<=9.0k,
-    max_points=98304,                    #   fine<=310
+    _STANDARD_CAPS,                      #   vox<=260, hyp<=925, res<=8.3k,
+    max_points=98304,                    #   fine<=386, <=12 hits/match
     max_raw_points=147456,               # hall: raw<=132k, down<=91.4k,
     max_voxels=4096,                     #   vox<=2856, hyp<=4177,
-    max_matches=4096,                    #   res<=22.0k, fine<=1921,
-    max_hypotheses=6144,                 #   <=10 third-plane hits/match
-    max_clusters=4096,                   # (6 seeds x 2 clouds per family)
-    max_residual=1 << 15,
+    max_matches=4096,                    #   res<=19.7k, fine<=2578,
+    max_hypotheses=6144,                 #   <=11 hits/match
+    max_clusters=4096,                   # (8 seeds x 2 clouds per family,
+    max_residual=1 << 15,                #  tools/measure_content.py)
     max_fine_voxels=3072,
 )
 
@@ -88,15 +88,31 @@ _OUTDOOR_CAPS = dataclasses.replace(  # cross-season: raw<=102k, down<=57k,
     max_fine_voxels=2048,
 )
 
-_LARGE_CAPS = dataclasses.replace(  # building-scale scenes: unmeasured,
-    _DENSE_CAPS,                    # generous bounds
-    max_points=1 << 18,
-    max_raw_points=1 << 19,
-    max_voxels=8192,
-    max_matches=4096,
-    max_hypotheses=16384,
-    max_fine_voxels=1 << 15,        # sparse outdoor residuals spread wide
-    wide_extent=True,               # full 2047-cell face extent (two-key sort)
+_RESSO_CAPS = Capacities(   # facade family (tools/measure_content.py,
+    max_points=73728,       #   4 seeds): raw<=73.0k, down<=68.9k,
+    max_raw_points=81920,   #   vox<=6357, match<=560, hyp<=604,
+    max_voxels=9216,        #   <=5 hits/match, seeds<=297, res<=6.5k,
+    max_matches=1024,       #   fine<=1802, span<=120 cells
+    max_hypotheses=2048,
+    max_reps=256,
+    max_clusters=1024,
+    max_residual=1 << 14,
+    max_fine_voxels=4096,
+    wide_extent=True,       # RESSO blocks can span past the ~127 m
+)                           #   single-key budget (leaf 0.1 / face 1.0)
+
+_HERITAGE_CAPS = Capacities(  # courtyard family (measure_content, 4
+    max_points=245760,        #   seeds, leaf 0.2 / face 2.0): raw<=270k,
+    max_raw_points=294912,    #   down<=228k, vox<=7899, match<=1107,
+    max_voxels=11264,         #   hyp<=1446, <=14 hits/match (colonnade
+    max_matches=2048,         #   parallel-plane fan-out), seeds<=892,
+    max_hypotheses=3072,      #   res<=36.5k, fine<=22.9k, span<=261
+    max_reps=256,             #   cells (0.5 m fine voxel, no aliasing)
+    max_clusters=2048,
+    max_residual=1 << 16,
+    per_match_hits=24,
+    max_fine_voxels=1 << 15,
+    wide_extent=True,
 )
 
 REGISTRY = {
@@ -112,8 +128,18 @@ REGISTRY = {
     "eth-outdoor": FCCFModel(
         "eth-outdoor", FCCFParams(leaf_size=0.1), _OUTDOOR_CAPS
     ),
-    "resso": FCCFModel("resso", FCCFParams(leaf_size=0.1), _LARGE_CAPS),
-    "heritage": FCCFModel("heritage", FCCFParams(leaf_size=0.2), _LARGE_CAPS),
+    # Building-scale presets. The heritage feature voxel scales with its
+    # leaf (2.0 m at 0.2 m leaf, the same 10x ratio as office) — the
+    # reference hard-codes 1 m (FCCF.cpp:134) because it never re-tunes
+    # per dataset beyond the CLI leaf; at a >100 m extent a 1 m feature
+    # grid yields ~21k voxels of O(V^2) face-growth work for no accuracy
+    # gain over coarser plane patches.
+    "resso": FCCFModel("resso", FCCFParams(leaf_size=0.1), _RESSO_CAPS),
+    "heritage": FCCFModel(
+        "heritage",
+        FCCFParams(leaf_size=0.2, face_voxel_size=2.0),
+        _HERITAGE_CAPS,
+    ),
     "tiny": FCCFModel("tiny", FCCFParams(leaf_size=0.25), TEST_CAPS),
 }
 

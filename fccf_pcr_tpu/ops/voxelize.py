@@ -111,7 +111,7 @@ def _run_segments(k_s):
     return seg_id, first
 
 
-def sorted_segment_reduce(values, seg, num_segments):
+def sorted_segment_reduce(values, seg, num_segments, return_start=False):
     """Sums + counts per segment for a NONDECREASING segment-id vector.
 
     Per-segment sums are differences of the running prefix sum (log-depth
@@ -121,8 +121,16 @@ def sorted_segment_reduce(values, seg, num_segments):
     rounds with full-width gathers (measured 140 ms per 131k-query search
     on v5e).
 
+    The prefix-difference error scales with the MAGNITUDE of the running
+    sum, so callers must feed O(cell-size) anchored values, never raw
+    coordinates: at a 100 m scene x 280k rows the prefix reaches ~3e7
+    where one f32 ulp is 2 — metre-scale noise per segment (measured on
+    the heritage proxy: 0.2 m median point displacement).
+
     values: (N, D); seg: (N,) in [0, num_segments] (num_segments = dropped).
-    Returns (sums (S, D), counts (S,) int32).
+    Returns (sums (S, D), counts (S,) int32) and, with return_start=True,
+    the per-slot run-start row index (S,) (garbage at unoccupied slots —
+    mask by counts > 0) for exact per-segment anchor gathers.
     """
     n = values.shape[0]
     S = num_segments
@@ -155,6 +163,8 @@ def sorted_segment_reduce(values, seg, num_segments):
     )
     sums = ps_end - ps_start
     counts = jnp.where(occupied, end - start + 1, 0)
+    if return_start:
+        return sums, counts, jnp.where(occupied, start, 0)
     return sums, counts
 
 
@@ -192,18 +202,30 @@ def voxel_grid_downsample(points, mask, res, out_capacity=None):
     """
     n = points.shape[0]
     cap = n if out_capacity is None else out_capacity
-    key, _, key_ovf = _cell_keys(points, mask, res)
+    key, kmin, key_ovf = _cell_keys(points, mask, res)
     w = mask.astype(points.dtype)
-    v = points * w[:, None]
+    # Accumulate CELL-ANCHORED coordinates (|p'| < res): raw coordinates
+    # through the prefix-sum reduce lose metres of precision at building
+    # scale (see sorted_segment_reduce); the cell corner is re-derived
+    # EXACTLY from the sorted key at each run start and added back.
+    anchor = jnp.floor(points / res) * res
+    v = (points - anchor) * w[:, None]
     k_s, vx, vy, vz = sort_by_key(key, v[:, 0], v[:, 1], v[:, 2])
     m_s = k_s != _SENT  # invalid points carry the sentinel key
     seg_id, _ = _run_segments(k_s)
     seg = jnp.where(m_s, jnp.minimum(seg_id, cap), cap)
-    sums, cnts = sorted_segment_reduce(
-        jnp.stack([vx, vy, vz], axis=-1), seg, cap
+    sums, cnts, start = sorted_segment_reduce(
+        jnp.stack([vx, vy, vz], axis=-1), seg, cap, return_start=True
     )
+    anchor_s = jnp.where(
+        m_s[:, None],
+        _unpack_cells(jnp.where(m_s, k_s, 0), kmin).astype(points.dtype) * res,
+        0.0,
+    )
+    occ = cnts > 0
+    anchor_seg = jnp.where(occ[:, None], anchor_s[start], 0.0)
     out = sums / jnp.maximum(cnts[:, None].astype(points.dtype), 1.0)
-    return out, cnts > 0, key_ovf
+    return out + anchor_seg, occ, key_ovf
 
 
 def _segment_mean_cov(pts_anchored, anchor, seg, V):
@@ -217,9 +239,10 @@ def _segment_mean_cov(pts_anchored, anchor, seg, V):
     (V,3)->(N,3) mean gather (measured ~6 ms per 131k cloud on v5e).
     Anchor consistency within a segment is exact: the caller derives it
     from the same integer cell that defines the segment key. Returns
-    (mean_absolute, cov, cnt); mean reconstructs as mu' + anchor (the
-    anchor rides the reduction as three columns — exact up to one ulp of
-    the absolute coordinate, far below sensor noise).
+    (mean_absolute, cov, cnt); mean reconstructs as mu' + anchor, with
+    the anchor gathered EXACTLY at each run's first row (summing anchor
+    columns through the prefix reduce loses ~prefix_magnitude * eps —
+    metre-scale at a 100 m scene, see sorted_segment_reduce).
     """
     dt = pts_anchored.dtype
     w = (seg < V).astype(dt)
@@ -236,12 +259,14 @@ def _segment_mean_cov(pts_anchored, anchor, seg, V):
         ],
         axis=-1,
     )
-    vals = jnp.concatenate([p, anchor * w[:, None], outer6], axis=-1)
-    sums, cnt = sorted_segment_reduce(vals, seg, V)
+    vals = jnp.concatenate([p, outer6], axis=-1)
+    sums, cnt, start = sorted_segment_reduce(vals, seg, V, return_start=True)
+    occ = cnt > 0
+    anchor_seg = jnp.where(occ[:, None], anchor[start], 0.0)
     cntf = jnp.maximum(cnt.astype(dt), 1.0)
     mu = sums[:, 0:3] / cntf[:, None]
-    mean = mu + sums[:, 3:6] / cntf[:, None]
-    e = sums[:, 6:12] / cntf[:, None]
+    mean = mu + anchor_seg
+    e = sums[:, 3:9] / cntf[:, None]
     cxx = e[:, 0] - mu[:, 0] * mu[:, 0]
     cyy = e[:, 1] - mu[:, 1] * mu[:, 1]
     czz = e[:, 2] - mu[:, 2] * mu[:, 2]
@@ -490,7 +515,13 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels,
     # table comes from a V * log2(N) binary search, not an N-row scatter.
     # Rows between down points contribute exact zeros to the prefix sums,
     # so the sums are bit-identical to a packed-layout reduce.
-    start_tbl, n_faces_seen = _kth_true_positions(face_first_down, V)
+    # V+1 start positions: the extra slot is the first DROPPED voxel's
+    # start, clamping the last kept slot's window under overflow (without
+    # it, slot V-1's prefix window would extend to row n-1 and fold the
+    # dropped voxels' down points into its count/centroid/cov — the packed
+    # voxel_stats path excludes them, and the two layouts must agree).
+    start_full, n_faces_seen = _kth_true_positions(face_first_down, V + 1)
+    start_tbl = start_full[:V]
     slot = jnp.arange(V, dtype=jnp.int32)
     R = jnp.minimum(n_faces_seen, V)
     occupied = slot < R
@@ -512,7 +543,12 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels,
     ps2 = jnp.cumsum(vals2, axis=0)
     safe_start = jnp.where(occupied, start_tbl, 0)
     nxt = jnp.concatenate([start_tbl[1:], jnp.zeros((1,), jnp.int32)])
-    end = jnp.where(slot == R - 1, n - 1, jnp.maximum(nxt - 1, 0))
+    # Last kept slot's window ends at the row before the first dropped
+    # voxel's start when > V voxels exist (overflow), else at the last row.
+    last_end = jnp.where(
+        n_faces_seen > V, jnp.maximum(start_full[V] - 1, 0), n - 1
+    )
+    end = jnp.where(slot == R - 1, last_end, jnp.maximum(nxt - 1, 0))
     end = jnp.where(occupied, end, 0)
     ps_end = jnp.where(occupied[:, None], ps2[end], 0.0)
     ps_st = jnp.where(

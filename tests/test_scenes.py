@@ -72,3 +72,38 @@ def test_sequence_consecutive_pair_registers(register, caps):
     rre, rte = registration_errors(res.transform, jnp.asarray(T_rel[0]))
     assert float(rre) < 1.0, f"RRE {float(rre)}"
     assert float(rte) < 0.3, f"RTE {float(rte)}"
+
+
+@pytest.mark.slow
+def test_hall_production_scale_no_hypothesis_overflow():
+    """Pillar-hall pairs at the full bench geometry must fit the
+    eth-structured preset's hypothesis extraction: measured fan-out is
+    <= 11 third-plane hits/match (tools/measure_content.py, 8 seeds)
+    against per_match_hits=16, so no hypothesis may be dropped."""
+    from fccf_pcr_tpu.models.fccf import get_model
+    from fccf_pcr_tpu.pipeline.register import (
+        STATUS_HYPOTHESIS_OVERFLOW,
+        pre_downsample,
+    )
+
+    model = get_model("eth-structured")
+    params, mcaps = model.params, model.caps
+    fn = make_register_fn(params, mcaps)
+    for seed in (1, 7):  # hall seeds of the structured bench batch
+        src, tar, T_gt = synthetic.make_pair(
+            seed=seed, scene="hall", points_per_plane=14000,
+            clutter_points=6000, noise=0.006,
+        )
+        sp, sm = synthetic.pad_points(src, mcaps.raw_points)
+        tp, tm = synthetic.pad_points(tar, mcaps.raw_points)
+        sp, sm, s_ovf = pre_downsample(
+            jnp.asarray(sp), jnp.asarray(sm), params, mcaps)
+        tp, tm, t_ovf = pre_downsample(
+            jnp.asarray(tp), jnp.asarray(tm), params, mcaps)
+        assert not (bool(s_ovf) or bool(t_ovf))
+        res = fn(sp, sm, tp, tm)
+        assert int(res.status) & STATUS_HYPOTHESIS_OVERFLOW == 0, (
+            f"seed {seed}: hypothesis overflow (status {int(res.status)})"
+        )
+        rre, rte = registration_errors(res.transform, jnp.asarray(T_gt))
+        assert float(rre) < 2.0 and float(rte) < 0.2

@@ -132,7 +132,10 @@ def test_twin_parity_sweep(params, caps, config):
             assert rre_x < 1.5, (
                 f"rotation diverged on seed {seed}: {rre_x} deg"
             )
-        assert agree >= comparable - 3, f"diverged: {diverged}"
+        # Slack pinned to the MEASURED divergence count (docs/PARITY.md
+        # item 7: exactly one translation-mode flip per family on this
+        # seed grid) so a regression adding even one more flip fails.
+        assert agree >= comparable - 1, f"diverged: {diverged}"
         assert pipe_ok_n >= twin_ok_n - 1
     else:
         assert agree == comparable, f"twin/pipeline diverged: {diverged}"

@@ -176,3 +176,36 @@ def test_wide_extent_handles_scene_beyond_single_key_budget():
     _, _, s_wide, _, _ = downsample_and_voxelize(*args, wide_extent=True)
     assert bool(s_narrow.overflow)
     assert not bool(s_wide.overflow)
+
+
+def test_sparse_stats_exclude_dropped_voxels_under_overflow():
+    """When more than V feature voxels exist, the sparse (fused) path's
+    LAST kept slot must not absorb the dropped voxels' down points — its
+    stats must equal the same voxel's stats at ample capacity."""
+    from fccf_pcr_tpu.ops.voxelize import downsample_and_voxelize
+
+    rng = np.random.default_rng(3)
+    # ~64 occupied 1m voxels of content in a 4x4x4 region
+    pts = rng.uniform(0, 4, (6000, 3)).astype(np.float32)
+    mask = np.ones(6000, bool)
+    leaf, face = 0.25, 1.0
+
+    _, _, ample, _, _ = downsample_and_voxelize(
+        jnp.asarray(pts), jnp.asarray(mask), leaf, face, 128
+    )
+    V = 32  # force overflow: drops the tail voxels
+    _, _, tight, _, _ = downsample_and_voxelize(
+        jnp.asarray(pts), jnp.asarray(mask), leaf, face, V
+    )
+    assert bool(tight.overflow) and not bool(ample.overflow)
+    # kept slots (including the LAST) carry identical stats
+    np.testing.assert_array_equal(
+        np.asarray(tight.count), np.asarray(ample.count)[:V]
+    )
+    np.testing.assert_allclose(
+        np.asarray(tight.centroid), np.asarray(ample.centroid)[:V],
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tight.cov), np.asarray(ample.cov)[:V], atol=1e-5
+    )

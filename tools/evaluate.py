@@ -93,7 +93,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=40)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="pairs per step (default: the config's own batch)")
     ap.add_argument("--configs", default="office,apartment,cross-season")
     ap.add_argument("--device", default=None, choices=["cpu"])
     ap.add_argument(
@@ -109,7 +110,9 @@ def main():
 
     rows = []
     for name in args.configs.split(","):
-        r = evaluate_config(name, bench.CONFIGS[name], args.seeds, args.batch,
+        cfg = bench.CONFIGS[name]
+        batch = args.batch or cfg.get("batch", 8)
+        r = evaluate_config(name, cfg, args.seeds, batch,
                             rotation_gate=args.fuse_rotation_gate)
         print(f"# {r}", file=sys.stderr)
         rows.append(r)
