@@ -88,12 +88,12 @@ _OUTDOOR_CAPS = dataclasses.replace(  # cross-season: raw<=102k, down<=57k,
     max_fine_voxels=2048,
 )
 
-_RESSO_CAPS = Capacities(   # facade family (tools/measure_content.py,
-    max_points=73728,       #   4 seeds): raw<=73.0k, down<=68.9k,
-    max_raw_points=81920,   #   vox<=6357, match<=560, hyp<=604,
-    max_voxels=9216,        #   <=5 hits/match, seeds<=297, res<=6.5k,
-    max_matches=1024,       #   fine<=1802, span<=120 cells
-    max_hypotheses=2048,
+_RESSO_CAPS = Capacities(   # facade family (tools/measure_content.py over
+    max_points=73728,       #   the 8 bench seeds): raw<=73.0k, down<=68.9k,
+    max_raw_points=81920,   #   vox<=6613, match<=1052 (seed 5; TPU f32 face
+    max_voxels=9216,        #   tie-flips can shift counts further, so 2x
+    max_matches=2048,       #   headroom), hyp<=1092, <=5 hits/match,
+    max_hypotheses=2048,    #   res<=6.5k, fine<=1802, span<=120 cells
     max_reps=256,
     max_clusters=1024,
     max_residual=1 << 14,
