@@ -12,8 +12,14 @@ shows what the reference *would* have computed. It is also the golden for
 output-level parity tests. It is NOT a performance path.
 
 Divergences from the C++ (documented, shared with the TPU pipeline):
-  - voxel cells are anchored at the absolute origin, not the PCL octree
-    bounding box;
+  - by default, voxel cells are anchored at the absolute origin, not the
+    PCL octree bounding box.  ``anchor="bbox"`` switches the two octree
+    stages (face_extrate FCCF.cpp:475-479, fine_verify :792-796) to
+    PCL-style anchoring at the cloud's min corner, de-correlating the
+    oracle from the pipeline's shared choice so anchoring-sensitivity can
+    be measured (docs/PARITY.md).  ``voxel_grid_downsample`` stays
+    origin-anchored in both modes because pcl::VoxelGrid itself bins at
+    ``floor(p / leaf)`` — only the octrees are bbox-anchored in PCL;
   - Ceres is replaced by the same LM solve the TPU path uses (identical
     cost function, see refine/gauss_newton.py docstring).
 """
@@ -115,10 +121,16 @@ class Face:
     voxels: list  # list of (centroid, normal, count)
 
 
-def face_extrate(cloud, params: FCCFParams):
-    """Greedy face extraction, faithful to FCCF.cpp:470-678."""
+def face_extrate(cloud, params: FCCFParams, anchor="origin"):
+    """Greedy face extraction, faithful to FCCF.cpp:470-678.
+
+    anchor="bbox" reproduces the PCL octree's bounding-box anchoring
+    (octree root box starts at the cloud's min corner, FCCF.cpp:475-479)
+    instead of the absolute-origin grid shared with the TPU pipeline.
+    """
     centroid_global = cloud.mean(axis=0)
-    keys = np.floor(cloud / params.face_voxel_size).astype(np.int64)
+    shift = cloud.min(axis=0) if anchor == "bbox" else 0.0
+    keys = np.floor((cloud - shift) / params.face_voxel_size).astype(np.int64)
     order_keys = keys[:, [2, 1, 0]]
     uniq, inv = np.unique(order_keys, axis=0, return_inverse=True)
 
@@ -487,7 +499,7 @@ def quick_verify(T, faces1, faces2, params: FCCFParams):
     return T_out, score
 
 
-def fine_verify(T, src_res, tar_res, params: FCCFParams):
+def fine_verify(T, src_res, tar_res, params: FCCFParams, anchor="origin"):
     R = T[:3, :3]
     t = T[:3, 3]
     tar_t = tar_res @ R.T + t
@@ -495,7 +507,10 @@ def fine_verify(T, src_res, tar_res, params: FCCFParams):
     labels = np.concatenate([np.zeros(len(src_res)), np.ones(len(tar_t))])
     if len(fused) == 0:
         return 0.0
-    keys = np.floor(fused / params.fine_voxel).astype(np.int64)
+    # anchor="bbox": PCL octree over the fused cloud (FCCF.cpp:792-796)
+    # starts its root box at the fused cloud's min corner.
+    shift = fused.min(axis=0) if anchor == "bbox" else 0.0
+    keys = np.floor((fused - shift) / params.fine_voxel).astype(np.int64)
     uniq, inv = np.unique(keys, axis=0, return_inverse=True)
     s_cnt = np.zeros(len(uniq))
     t_cnt = np.zeros(len(uniq))
@@ -509,14 +524,15 @@ def fine_verify(T, src_res, tar_res, params: FCCFParams):
 
 
 # ------------------------------------------------------------ driver
-def register_pair(src_pts, tar_pts, params: FCCFParams):
+def register_pair(src_pts, tar_pts, params: FCCFParams, anchor="origin"):
     """Faithful driver (computer_transform_guess + main's arg swap):
-    returns T mapping src -> tar."""
+    returns T mapping src -> tar.  anchor="bbox" switches the octree
+    stages to PCL bounding-box anchoring (see module docstring)."""
     cloud1 = voxel_grid_downsample(tar_pts[np.isfinite(tar_pts).all(1)], params.leaf_size)
     cloud2 = voxel_grid_downsample(src_pts[np.isfinite(src_pts).all(1)], params.leaf_size)
 
-    faces1, res1, th1 = face_extrate(cloud1, params)
-    faces2, res2, th2 = face_extrate(cloud2, params)
+    faces1, res1, th1 = face_extrate(cloud1, params, anchor=anchor)
+    faces2, res2, th2 = face_extrate(cloud2, params, anchor=anchor)
     bases1, types1 = select_base(faces1, th1, params)
     bases2, types2 = select_base(faces2, th2, params)
 
@@ -545,7 +561,7 @@ def register_pair(src_pts, tar_pts, params: FCCFParams):
             scored.append([M2, s, 0.0])
         scored.sort(key=lambda x: -x[1])  # stable desc like score_range
         for c in scored[: int(params.fine_verify_number)]:
-            c[2] = fine_verify(c[0], res1, res2, params)
+            c[2] = fine_verify(c[0], res1, res2, params, anchor=anchor)
             s1_sum += c[1]
             s2_sum += c[2]
         reps_scored[ty] = scored

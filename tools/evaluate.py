@@ -52,6 +52,11 @@ def evaluate_config(name, cfg, seeds, batch, rotation_gate=None):
         spd, smd, s_ovf = pre(sp, sm)
         tpd, tmd, t_ovf = pre(tp, tm)
         n_pre_ovf = int(np.asarray(s_ovf).sum() + np.asarray(t_ovf).sum())
+        # Pin inputs on device and drain the async queue BEFORE the clock
+        # starts, so the timed region measures the registration step alone
+        # (same discipline as bench.py); without this the pre_downsample
+        # dispatch and host->device transfers leak into the number.
+        jax.block_until_ready((spd, smd, tpd, tmd))
         t0 = time.time()
         res = fn(spd, smd, tpd, tmd)
         jax.block_until_ready(res)
