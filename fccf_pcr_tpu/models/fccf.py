@@ -104,13 +104,13 @@ _RESSO_CAPS = Capacities(   # facade family (tools/measure_content.py over
 _HERITAGE_CAPS = Capacities(  # courtyard family (measure_content, 4
     max_points=245760,        #   seeds, leaf 0.2 / face 2.0): raw<=270k,
     max_raw_points=294912,    #   down<=228k, vox<=7899, match<=1107,
-    max_voxels=11264,         #   hyp<=1446, <=14 hits/match (colonnade
-    max_matches=2048,         #   parallel-plane fan-out), seeds<=892,
-    max_hypotheses=3072,      #   res<=36.5k, fine<=22.9k, span<=261
-    max_reps=256,             #   cells (0.5 m fine voxel, no aliasing)
-    max_clusters=2048,
-    max_residual=1 << 16,
-    per_match_hits=24,
+    max_voxels=11264,         #   hyp<=1610, seeds<=892, res<=36.5k,
+    max_matches=2048,         #   fine<=22.9k, span<=261 cells (0.5 m
+    max_hypotheses=3072,      #   fine voxel, no aliasing). Colonnade
+    max_reps=256,             #   parallel-plane fan-out reaches 30
+    max_clusters=2048,        #   third-plane hits on one match (eval
+    max_residual=1 << 16,     #   seed 38, TPU face path) — cap 40.
+    per_match_hits=40,
     max_fine_voxels=1 << 15,
     wide_extent=True,
 )
