@@ -76,13 +76,20 @@ class FCCFParams:
     use_pallas: bool = True
     # Type-gate in the final fusion (:1601).
     fuse_gate: float = 0.8
-    # Optional rotation-consistency gate for fusion (degrees; 0 = off =
-    # reference-faithful). The reference blindly averages all kept types'
-    # rotations (FCCF.cpp:1599-1606); on near-symmetric scenes a flipped
-    # candidate that clears the 0.8 score gate corrupts the average. With
-    # this gate > 0, kept types must also agree with the best type's
-    # rotation within the threshold.
-    fuse_rotation_gate_deg: float = 0.0
+    # Rotation-consistency gate for fusion (degrees; 0 = off = the
+    # reference's blind average of all kept types' rotations,
+    # FCCF.cpp:1599-1606). A degenerate type whose single candidate is
+    # rotated off the true pose can clear the 0.8 score gate purely on
+    # fine score (its quick score near zero) and corrupt the average —
+    # measured on a facade pair (8.9 deg final error from two 13.8-deg
+    # types) and on one apartment pair. Correct types always agree within
+    # ~1 deg, so 10 deg keeps every healthy fusion unchanged while
+    # dropping corrupted ones. DEFAULT ON at 10: a 6-family x 40-seed
+    # sweep (240 pairs, docs/EVALUATION.md) is 240/240 successful with
+    # mean RRE improved on every family vs the blind average (intentional,
+    # documented accuracy divergence from the reference; set 0 to restore
+    # reference-faithful fusion).
+    fuse_rotation_gate_deg: float = 10.0
 
     def replace(self, **kw) -> "FCCFParams":
         return dataclasses.replace(self, **kw)

@@ -81,9 +81,11 @@ _STRUCTURED_CAPS = dataclasses.replace(  # stairs: raw<=112k, down<=31.2k,
     max_fine_voxels=3072,
 )
 
-_OUTDOOR_CAPS = dataclasses.replace(  # cross-season: raw<=102k, down<=57k,
-    _STANDARD_CAPS,                   #   vox<=1023, hyp<=1306, res<=20k,
-    max_raw_points=1 << 18,           #   fine<=1230
+_OUTDOOR_CAPS = dataclasses.replace(  # cross-season (TPU path, 40 eval
+    _STANDARD_CAPS,                   #   seeds): raw<=102k, down<=57k,
+    max_raw_points=1 << 18,           #   vox<=1023, match<=1662, hyp<=2238
+    max_matches=3072,                 #   (seed 6 — past the inherited 2048
+    max_hypotheses=3072,              #   cap), res<=20k, fine<=1230
     max_residual=1 << 15,
     max_fine_voxels=2048,
 )

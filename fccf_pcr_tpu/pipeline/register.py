@@ -55,8 +55,10 @@ STATUS_DEGENERATE = 4  # no type scored > 0: identity returned
 STATUS_REP_OVERFLOW = 8       # cluster seed/representative capacity exceeded
 STATUS_RESIDUAL_OVERFLOW = 16  # residual cloud truncated to max_residual
 STATUS_FINE_OVERFLOW = 32      # fine-verify source table > max_fine_voxels
-STATUS_FINE_ALIAS = 64  # fine-verify scene span > 1024 cells/axis: wrapped
-#                         voxel keys may merge distinct cells (verify/fine.py)
+STATUS_FINE_ALIAS = 64  # fine-verify SOURCE-residual span > 1024 cells/axis:
+#   the source voxel table's wrapped keys may have merged distinct voxels
+#   (candidate poses can't alias — out-of-window target cells are dropped
+#   from the join, verify/fine.py)
 
 
 class RegistrationResult(NamedTuple):
@@ -201,8 +203,10 @@ def _register_pair_impl(
     # 0.8 gate (:1600-1605) + weighted fusion (:1606).
     keep = best_score > params.fuse_gate * best_best
     if params.fuse_rotation_gate_deg > 0:
-        # opt-in robustness gate (see FCCFParams.fuse_rotation_gate_deg):
-        # kept types must agree with the best type's rotation.
+        # rotation-consistency gate (default on at 10 deg, see
+        # FCCFParams.fuse_rotation_gate_deg): kept types must agree with
+        # the best type's rotation; 0 restores the reference's blind
+        # average.
         best_type = jnp.argmax(best_score)
         rel = geometry.rotation_error_deg(
             best_T[:, :3, :3], best_T[best_type, :3, :3][None]

@@ -109,8 +109,11 @@ class SourceTable(NamedTuple):
     counts: jax.Array  # (Vf,) float counts
     n_src: jax.Array   # () total source residual points
     overflow: jax.Array  # () bool, > max_fine_voxels distinct cells (dropped)
-    cell_min: jax.Array  # (3,) int32 per-axis min source cell (alias check)
+    cell_min: jax.Array  # (3,) int32 per-axis min source cell (join window)
     cell_max: jax.Array  # (3,) int32 per-axis max source cell
+    aliased: jax.Array   # () bool, source span >= 1024 cells on some axis:
+    #   the table's own wrapped keys merged distinct voxels (flagged;
+    #   in-window join keys are injective whenever this is False)
 
 
 def build_source_table(src_pts, src_mask, params: FCCFParams, caps: Capacities):
@@ -125,17 +128,28 @@ def build_source_table(src_pts, src_mask, params: FCCFParams, caps: Capacities):
         overflow=overflow,
         cell_min=kmin,
         cell_max=kmax,
+        aliased=jnp.any(kmax - kmin >= 1024),
     )
 
 
 def fine_verify(T, table: SourceTable, tar_pts, tar_mask, params, caps):
     """Score one candidate transform (:785-839).
 
-    Returns ``(score, aliased)``: ``aliased`` is True when the fused scene's
-    cell span exceeds the 1024-cells-per-axis injective range of the packed
-    key, i.e. when wrapped keys could merge distinct voxels (the reference's
-    octree is extent-unbounded, FCCF.cpp:792-796; here the capacity contract
-    of config.py requires the degradation to be *flagged*, never silent).
+    Returns ``(score, aliased)``: ``aliased`` is True when the SOURCE
+    residual's cell span exceeds the 1024-cells-per-axis injective range of
+    the packed key, i.e. when the source table's own wrapped keys could have
+    merged distinct voxels (the reference's octree is extent-unbounded,
+    FCCF.cpp:792-796; here the capacity contract of config.py requires the
+    degradation to be *flagged*, never silent). The *target* cloud needs no
+    span condition: only voxels holding both labels score (:830), so target
+    cells outside the source bounding window can never contribute and are
+    dropped from the join before packing — every joined cell then lies
+    inside the source window, keeping wrapped keys injective for ANY
+    candidate pose (degenerate 3-plane solves can emit translations
+    hundreds of metres out; without the window those wrapped far cells
+    could collide with real source voxels and fabricate fine score).
+    Dropping them does not change the score's denominator, which counts
+    fused POINTS from the original masks (:829).
 
     Join structure: only voxels holding BOTH labels contribute (:830), and
     those are a subset of the source voxels. The join is ONE sort of
@@ -150,13 +164,15 @@ def fine_verify(T, table: SourceTable, tar_pts, tar_mask, params, caps):
     t = T[:3, 3]
     tar_t = tar_pts @ R.T + t
     cells_t = _cells(tar_t, params.fine_voxel)
-    keys_t = _pack_cells(cells_t, tar_mask)
-    # Alias check on the fused (source ∪ transformed target) cell range:
-    # wraparound keys stay injective iff the joint span per axis is < 1024.
-    tmin, tmax = _cell_bounds(cells_t, tar_mask)
-    jmin = jnp.minimum(table.cell_min, tmin)
-    jmax = jnp.maximum(table.cell_max, tmax)
-    aliased = jnp.any(jmax - jmin >= 1024)
+    # Join window: a target cell scores only by EQUALLING a source cell, so
+    # cells outside the source bbox are dropped before packing (see
+    # docstring — this keeps wrapped keys injective for any pose and cannot
+    # change the score). The alias flag is the source table's own.
+    in_win = jnp.all(
+        (cells_t >= table.cell_min) & (cells_t <= table.cell_max), axis=-1
+    )
+    keys_t = _pack_cells(cells_t, tar_mask & in_win)
+    aliased = table.aliased
 
     Vf = table.keys.shape[0]
     M = keys_t.shape[0]

@@ -89,11 +89,15 @@ def test_transform_is_applied():
 
 
 def test_alias_flag_on_wide_scenes():
-    """Scenes whose fused cell span exceeds 1024 cells/axis must raise the
-    aliased flag (the packed 10-bit/axis key wraps); in-range scenes at
-    negative coordinates must not, and negative-z cells must stay distinct
-    (regression: the old int32 packing clamped wrapped z=1023 onto 1022,
-    merging the two 0.5 m slabs just below the origin)."""
+    """SOURCE residuals whose cell span exceeds 1024 cells/axis must raise
+    the aliased flag (the packed 10-bit/axis key wraps inside the table
+    itself); a far-away TARGET must NOT flag or score — its cells fall
+    outside the source join window and are dropped before packing, so the
+    wrapped key cannot fabricate collisions for any candidate pose.
+    In-range scenes at negative coordinates must not flag, and negative-z
+    cells must stay distinct (regression: the old int32 packing clamped
+    wrapped z=1023 onto 1022, merging the two 0.5 m slabs just below the
+    origin)."""
     params = FCCFParams()
     caps = TEST_CAPS
     rng = np.random.default_rng(2)
@@ -115,9 +119,20 @@ def test_alias_flag_on_wide_scenes():
     score, aliased = fine_verify(jnp.eye(4), table, sp, sm, params, caps)
     assert not bool(aliased) and float(score) > 0.9
 
-    # source far from target: fused span > 1024 cells -> flagged
+    # target far from source: its cells are outside the join window, so
+    # no flag and EXACTLY zero score (pre-window, the wrapped far cells
+    # could collide with real source voxels and fabricate overlap)
     tp, tm = pad(far)
     score, aliased = fine_verify(jnp.eye(4), table, tp, tm, params, caps)
+    assert not bool(aliased)
+    assert float(score) == 0.0
+
+    # WIDE SOURCE (two clusters 1400 cells apart): the table's own packed
+    # keys wrap -> flagged at build, surfaced by every candidate
+    wide = np.concatenate([near, far])
+    sp2, sm2 = pad(wide)
+    table_w = build_source_table(sp2, sm2, params, caps)
+    _, aliased = fine_verify(jnp.eye(4), table_w, sp2, sm2, params, caps)
     assert bool(aliased)
 
     # z slabs [-1,-0.5) and [-0.5,0) must score as distinct cells: a cloud

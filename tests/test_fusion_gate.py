@@ -1,4 +1,4 @@
-"""Opt-in rotation-consistency fusion gate (FCCFParams.fuse_rotation_gate_deg)."""
+"""Rotation-consistency fusion gate (FCCFParams.fuse_rotation_gate_deg, default 10 deg)."""
 
 import numpy as np
 import jax.numpy as jnp

@@ -83,20 +83,33 @@ def test_per_match_hits_overflow_flagged(params, caps):
 
 
 def test_fine_alias_flagged(params, caps):
-    # A far-away clutter cluster stretches the residual clouds' cell span
-    # past the 1024-cells-per-axis injective range of the packed fine-verify
-    # key (>512 m at the 0.5 m default): the wrap must be FLAGGED, never
-    # silent (the reference octree is extent-unbounded, FCCF.cpp:792-796).
+    # A far-away clutter cluster in BOTH clouds stretches the SOURCE
+    # residual's cell span past the 1024-cells-per-axis injective range of
+    # the packed fine-verify key (>512 m at the 0.5 m default): the
+    # source-table wrap must be FLAGGED, never silent (the reference
+    # octree is extent-unbounded, FCCF.cpp:792-796). Target-side span
+    # needs no flag — out-of-window target cells are dropped from the
+    # join (tests/test_fine_verify.py covers that side). Voxel capacity
+    # gets headroom so the far cluster actually reaches the residual
+    # cloud instead of being dropped at the voxel stage.
+    wide_caps = caps.replace(max_voxels=4096, max_residual=1 << 14,
+                             wide_extent=True)
     src, tar, _ = synthetic.make_pair(
         seed=3, points_per_plane=1500, clutter_points=900
     )
     rng = np.random.default_rng(7)
-    far = rng.uniform(600.0, 604.0, (200, 3)).astype(np.float32)
+    # a dense isotropic blob INSIDE one 2.5 m face voxel: enough points to
+    # clear the min-points gate, curvature far above the planarity
+    # threshold, so the whole blob lands in the residual cloud (thinly
+    # spread points would fall in below-threshold voxels and be dropped
+    # outright; planar patches would become faces — neither reaches the
+    # fine stage)
+    far = rng.uniform(600.1, 602.4, (400, 3)).astype(np.float32)
     src = np.concatenate([src, far])
     tar = np.concatenate([tar, far])
-    sp, sm = synthetic.pad_points(src, caps.max_points)
-    tp, tm = synthetic.pad_points(tar, caps.max_points)
-    res = make_register_fn(params, caps)(sp, sm, tp, tm)
+    sp, sm = synthetic.pad_points(src, wide_caps.max_points)
+    tp, tm = synthetic.pad_points(tar, wide_caps.max_points)
+    res = make_register_fn(params, wide_caps)(sp, sm, tp, tm)
     assert np.isfinite(np.asarray(res.transform)).all()
     assert int(res.status) & STATUS_FINE_ALIAS
 

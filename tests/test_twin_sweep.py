@@ -127,13 +127,13 @@ def test_twin_parity_sweep(params, caps, config):
         # translation-mode flips are the documented divergence
         # (production-scale structured scenes are unaffected: 39-40/40
         # success in docs/EVALUATION.md). Root-cause trace in
-        # docs/PARITY.md "Known divergences" item 7.
+        # docs/PARITY.md "Known divergences" item 8.
         for seed, rre_x, rte_x in diverged:
             assert rre_x < 1.5, (
                 f"rotation diverged on seed {seed}: {rre_x} deg"
             )
         # Slack pinned to the MEASURED divergence count (docs/PARITY.md
-        # item 7: exactly one translation-mode flip per family on this
+        # item 8: exactly one translation-mode flip per family on this
         # seed grid) so a regression adding even one more flip fails.
         assert agree >= comparable - 1, f"diverged: {diverged}"
         assert pipe_ok_n >= twin_ok_n - 1
