@@ -13,7 +13,7 @@ Extras beyond the reference (structured observability, SURVEY.md §5):
     --json          emit a machine-readable record (T, scores, counts,
                     status flags, stage timings)
     --batch A B C…  register consecutive pairs of a scan list, vmapped
-    --caps tiny|default|large   capacity preset
+    --caps tiny|default|large|eth-*|resso|heritage   capacity preset
     --device cpu|tpu            backend override
 """
 
@@ -32,6 +32,10 @@ def _caps_preset(name):
 
     if name == "tiny":
         return TEST_CAPS
+    from .models.fccf import REGISTRY
+
+    if name in REGISTRY:  # measured model presets (eth-*, resso, heritage)
+        return REGISTRY[name].caps
     if name == "large":
         return Capacities(
             max_points=1 << 19,
@@ -54,7 +58,13 @@ def main(argv=None):
     ap.add_argument("voxel", nargs="?", type=float, default=0.1,
                     help="voxel-grid leaf size in meters (default 0.1)")
     ap.add_argument("--json", action="store_true", help="machine-readable output")
-    ap.add_argument("--caps", default="default", choices=["tiny", "default", "large"])
+    # "default"/"large" are generic envelopes; the registry names select
+    # the content-measured presets (models/fccf.py) a reference user would
+    # pick per dataset.
+    from .models.fccf import REGISTRY as _REG
+    ap.add_argument("--caps", default="default",
+                    choices=["tiny", "default", "large",
+                             *(k for k in _REG if k != "tiny")])
     ap.add_argument("--device", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--batch", nargs="+", default=None, metavar="PLY",
                     help="register consecutive pairs of this scan list")
