@@ -88,6 +88,38 @@ def test_sharded_equals_unsharded(params, caps, sweep_pairs):
         )
 
 
+def test_sharded_wide_extent_equals_unsharded(params, caps, sweep_pairs):
+    """Same sharded-vs-unsharded parity with wide_extent=True — the key
+    packing the building-scale presets (resso/heritage) run under. A
+    sharding bug specific to the wide two-key path would be invisible to
+    the standard-caps test above."""
+    import jax
+
+    from fccf_pcr_tpu.parallel.mesh import make_mesh, make_sharded_register_fn
+    from fccf_pcr_tpu.pipeline.register import make_register_fn
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    caps_w = caps.replace(wide_extent=True)
+    pairs, _ = sweep_pairs
+    pairs8 = (pairs * 3)[:8]
+    sp = np.stack([synthetic.pad_points(s, caps_w.max_points)[0] for s, _ in pairs8])
+    sm = np.stack([synthetic.pad_points(s, caps_w.max_points)[1] for s, _ in pairs8])
+    tp = np.stack([synthetic.pad_points(t, caps_w.max_points)[0] for _, t in pairs8])
+    tm = np.stack([synthetic.pad_points(t, caps_w.max_points)[1] for _, t in pairs8])
+
+    mesh = make_mesh()
+    rs = make_sharded_register_fn(params, caps_w, mesh)(sp, sm, tp, tm)
+    ru = make_register_fn(params, caps_w, batched=True)(sp, sm, tp, tm)
+    score_fields = {"quick_score", "fine_score", "type_score"}
+    for name, a, b in zip(rs._fields, rs, ru):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=5e-4 if name in score_fields else 1e-5,
+            err_msg=f"field {name} diverges between sharded and unsharded",
+        )
+
+
 def test_sweep_sharded_over_mesh(params, caps, sweep_pairs):
     """Data-parallel sweep over the 8-virtual-device CPU mesh."""
     import jax
