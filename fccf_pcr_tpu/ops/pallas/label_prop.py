@@ -34,8 +34,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 2**30  # python int: jnp scalars become captured consts in kernels
 
-BI = 128   # i-block (rows updated per grid step)
-BJ = 512   # j-chunk (lanes scanned per inner iteration)
+BI = 128   # default i-block (rows updated per grid step)
+BJ = 512   # default j-chunk (lanes scanned per inner iteration)
+
+
+def _block_sizes(V):
+    """Block sizes for V (must divide it). Measured on v5e at heritage
+    scale (V=11264, batch 4): widening the j-chunk to 1024 amortizes the
+    per-chunk field loads (198 -> 192 ms full step); GROWING BI is a
+    measured dead end — (256, 512) ran 215 ms, worse than the (128, 512)
+    baseline's 198 (coarser Gauss-Seidel blocks + a VMEM stack that
+    scales with BI: ~16 live (BI, BJ) f32 temps, needing the raised
+    vmem_limit_bytes below even at BJ=512). Keep BI=128."""
+    bj = 1024 if V % 1024 == 0 else BJ
+    return BI, bj
 
 
 def _sweep_kernel(
@@ -48,6 +60,8 @@ def _sweep_kernel(
     changed_ref,  # (1, 1) int32 SMEM out
     *,
     V: int,
+    BI: int,
+    BJ: int,
 ):
     s = pl.program_id(0)
     ib = pl.program_id(1)
@@ -184,7 +198,8 @@ def label_propagate_pallas(
     out-of-bound slots are invalid by contract (asserted in interpret/test
     paths by the caller)."""
     V = normal.shape[0]
-    assert V % BI == 0 and V % BJ == 0, f"V={V} must be a multiple of {BJ}"
+    bi, bj = _block_sizes(V)
+    assert V % bi == 0 and V % bj == 0, f"V={V} must be a multiple of {bj}"
     statsT, stats = _pack_stats(normal, centroid, valid, angle_thresh_deg)
     cos_gate = jnp.cos(jnp.deg2rad(angle_thresh_deg)).astype(normal.dtype)
     params = jnp.array([[cos_gate, l, k, 0.0]], normal.dtype)
@@ -194,8 +209,8 @@ def label_propagate_pallas(
     labels0 = jnp.where(valid, jnp.arange(V, dtype=jnp.int32), _BIG).reshape(1, V)
 
     call = pl.pallas_call(
-        functools.partial(_sweep_kernel, V=V),
-        grid=(sweeps_per_call, V // BI),
+        functools.partial(_sweep_kernel, V=V, BI=bi, BJ=bj),
+        grid=(sweeps_per_call, V // bi),
         in_specs=[
             pl.BlockSpec((V, 16), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, V), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
@@ -212,6 +227,14 @@ def label_propagate_pallas(
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            # The affinity expression keeps ~16 (BI, BJ) f32 temps live
+            # on the VMEM stack; (128, 1024) tiles sit near Mosaic's
+            # default 16 MB scoped limit. Raise the cap (v5e has 128 MB
+            # physical VMEM) so tile-size tuning can't flip into a
+            # compile-time OOM.
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )
 
