@@ -88,6 +88,11 @@ def evaluate_config(name, cfg, seeds, batch, rotation_gate=None):
         "rte_p95": float(np.percentile(rtes[ok], 95)) if ok.any() else float("nan"),
         "fail_seeds": [int(i) for i in np.flatnonzero(~ok)],
         "nonzero_status": int(np.count_nonzero(statuses)),
+        # which seed raised which bits — saves a custom probe when a
+        # flagged count appears (pipeline/register.py STATUS_* values)
+        "flagged_seeds": {
+            int(i): int(statuses[i]) for i in np.flatnonzero(statuses)
+        },
         "pairs_per_s": (n_timed / t_total) if t_total > 0 else None,
     }
 
