@@ -106,3 +106,19 @@ def test_cli_smoke(tmp_path):
     T = np.asarray(rec["transform"])
     assert T.shape == (4, 4)
     assert np.isfinite(T).all()
+
+
+def test_cli_caps_presets_resolve():
+    """--caps accepts every registry preset name and resolves to that
+    model's measured capacities (plus the generic envelopes)."""
+    from fccf_pcr_tpu.cli import _caps_preset
+    from fccf_pcr_tpu.config import TEST_CAPS
+    from fccf_pcr_tpu.models.fccf import REGISTRY
+
+    assert _caps_preset("tiny") == TEST_CAPS
+    for name, model in REGISTRY.items():
+        if name == "tiny":
+            continue
+        assert _caps_preset(name) == model.caps, name
+    assert _caps_preset("large").max_hypotheses == 16384
+    assert _caps_preset("default").max_points >= TEST_CAPS.max_points
