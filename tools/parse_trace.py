@@ -63,11 +63,30 @@ def main():
                     help="bucket by op-name prefix (strip trailing .N)")
     ap.add_argument("--steps", type=int, default=None,
                     help="divide totals by this many profiled steps")
+    ap.add_argument("--describe", metavar="OPNAME",
+                    help="print the full long_name of this op (e.g. "
+                         "'%%while.354') — while/call ops often carry their "
+                         "loop-state shapes there, which identifies the "
+                         "source loop (round 3: the two big heritage whiles "
+                         "were attributed to the label-prop convergence "
+                         "loops by their f32[.,V,16] stats operands)")
     args = ap.parse_args()
 
     fn = newest_trace(args.path)
     print(f"# {fn}", file=sys.stderr)
     events = load_events(fn)
+    if args.describe:
+        want = args.describe.lstrip("%")
+        seen = set()
+        for e in events:
+            if e["name"].lstrip("%") == want:
+                ln = e.get("args", {}).get("long_name", "<no long_name>")
+                if ln not in seen:
+                    seen.add(ln)
+                    print(ln)
+        if not seen:
+            print(f"no event named {args.describe!r}", file=sys.stderr)
+        return
     total = sum(e["dur"] for e in events)
 
     by_op = collections.Counter()
