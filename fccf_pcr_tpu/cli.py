@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -80,6 +81,15 @@ def main(argv=None):
                     help="load the scan list with the threaded C++ batch "
                          "loader (csrc/, falls back to python)")
     args = ap.parse_args(argv)
+
+    if args.device == "cpu":
+        # Must land BEFORE the jax import: the container ships
+        # JAX_PLATFORMS=axon in the environment and a sitecustomize that
+        # registers the remote-TPU plugin, and the in-config update alone
+        # does not stop the plugin's backend from initializing at first
+        # dispatch — which HANGS indefinitely when the TPU tunnel relay
+        # is down (conftest.py uses the same env-first pattern).
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
 

@@ -42,14 +42,15 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Capacities, FCCFParams
 from ..hypotheses.transforms import Hypotheses
 from ..ops import geometry
 from ..ops.voxelize import compact
 
-_XHAT = jnp.array([1.0, 0.0, 0.0])
-_YHAT = jnp.array([0.0, 1.0, 0.0])
+_XHAT = np.array([1.0, 0.0, 0.0], np.float32)
+_YHAT = np.array([0.0, 1.0, 0.0], np.float32)
 
 _SEED_BLOCK = 512
 

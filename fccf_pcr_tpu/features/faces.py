@@ -30,12 +30,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Capacities, FCCFParams
 from ..ops import eigen3, geometry
 from ..ops.voxelize import compact, voxel_stats
 
-_BIG = jnp.int32(2**30)
+_BIG = np.int32(2**30)
 
 
 class Faces(NamedTuple):

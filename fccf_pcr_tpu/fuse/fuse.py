@@ -9,11 +9,12 @@ of the rotated x/y axes.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import geometry
 
-_XHAT = jnp.array([1.0, 0.0, 0.0])
-_YHAT = jnp.array([0.0, 1.0, 0.0])
+_XHAT = np.array([1.0, 0.0, 0.0], np.float32)
+_YHAT = np.array([0.0, 1.0, 0.0], np.float32)
 
 
 def fuse_transforms(quat, t, score, valid):

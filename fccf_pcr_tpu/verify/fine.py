@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Capacities, FCCFParams
 
@@ -34,7 +35,7 @@ from ..config import Capacities, FCCFParams
 # in fine_verify they span 31 bits, so the all-ones uint32 can never collide
 # with a real key in either domain (no axis range is sacrificed to protect
 # the sentinel).
-_SENTINEL = jnp.uint32(0xFFFFFFFF)
+_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def _cells(points, res):
