@@ -267,6 +267,37 @@ def run_config(name, cfg, emit_json):
     return record
 
 
+def _probe_backend(timeout_s: float = 180.0):
+    """Fail fast if the accelerator backend is unreachable.
+
+    The remote-TPU tunnel can die outright (observed: relay port
+    refused for hours); the first dispatch then blocks FOREVER inside
+    backend init, recording nothing. A healthy tunnel completes this
+    trivial op in seconds (full-pipeline compiles take ~40-60 s, but
+    backend init + a scalar reduce is not that), so a generous bound
+    only fires when the backend is genuinely gone."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    ok = []
+
+    def work():
+        ok.append(float(jnp.ones((8, 8)).sum()))
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(
+            f"# FATAL: backend unreachable (trivial dispatch did not "
+            f"complete in {timeout_s:.0f}s — TPU tunnel down?)",
+            file=sys.stderr, flush=True,
+        )
+        raise SystemExit(3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -274,6 +305,7 @@ def main():
         help="coverage configuration (default: the headline office config)",
     )
     args = ap.parse_args()
+    _probe_backend()
     if args.config == "all":
         for name, cfg in CONFIGS.items():
             run_config(name, cfg, emit_json=(name == "office"))
