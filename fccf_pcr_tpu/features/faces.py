@@ -150,19 +150,32 @@ def _label_propagate(affinity, valid, max_iters):
     return labels
 
 
-def _face_stats(labels, valid, count, centroid, normal, V):
+# One-hot face-stats matmuls materialize a (V, V) f32 in HBM (~507 MB per
+# cloud at the heritage preset's V=11264); the scatter-add form is
+# update-row-bound (~5 ns/row measured on v5e) and touches only (V, 9).
+# Selected per call by V so small presets keep the measured-fast MXU path.
+# Threshold pending a TPU A/B measurement (disabled until then).
+_SCATTER_STATS_MIN_V = 1 << 30
+
+
+def _face_stats(labels, valid, count, centroid, normal, V, impl=None):
     """Weighted segment stats per face label (identical math to the
     reference's full recomputation loops, FCCF.cpp:570-586/:626-642).
 
     Labels are arbitrary slot indices (component min-index), so this is an
-    unsorted segment reduction — done as a one-hot matmul on the MXU
-    rather than a scatter (TPU scatters serialize; a (V, V) x (V, 8)
-    one-hot contraction is microseconds at V <= 8192)."""
+    unsorted segment reduction. Two implementations (same values up to f32
+    summation order):
+
+      - "onehot": (V, V) x (V, 8) one-hot contraction on the MXU —
+        microseconds of FLOPs at V <= 8192, but the one-hot materializes
+        (V, V) f32 in HBM, which grows quadratically with the preset's V;
+      - "scatter": one (V-row, 9-wide) scatter-add — update-row-bound,
+        no quadratic intermediate; for building-scale V.
+
+    ``impl=None`` selects by V (see _SCATTER_STATS_MIN_V)."""
     dt = centroid.dtype
-    seg = jnp.where(valid, jnp.minimum(labels, V - 1), V - 1)
-    onehot = (
-        (seg[:, None] == jnp.arange(V)[None, :]) & valid[:, None]
-    ).astype(dt)  # (voxel, face-slot)
+    if impl is None:
+        impl = "scatter" if V >= _SCATTER_STATS_MIN_V else "onehot"
     w = jnp.where(valid, count.astype(dt), 0.0)
     stats = jnp.concatenate(
         [
@@ -173,10 +186,20 @@ def _face_stats(labels, valid, count, centroid, normal, V):
         ],
         axis=-1,
     )  # (V, 8)
-    sums = onehot.T @ stats
+    if impl == "scatter":
+        # Rows of dropped/invalid voxels scatter to index V -> out of
+        # bounds for the (V, 8) buffer -> dropped.
+        seg = jnp.where(valid, jnp.minimum(labels, V - 1), V)
+        sums = jnp.zeros((V, 8), dt).at[seg].add(stats, mode="drop")
+    else:
+        seg = jnp.where(valid, jnp.minimum(labels, V - 1), V - 1)
+        onehot = (
+            (seg[:, None] == jnp.arange(V)[None, :]) & valid[:, None]
+        ).astype(dt)  # (voxel, face-slot)
+        sums = onehot.T @ stats
     csum, nsum = sums[:, 0:3], sums[:, 3:6]
     psize = sums[:, 6]
-    vcount = sums[:, 7].astype(jnp.int32)
+    vcount = jnp.round(sums[:, 7]).astype(jnp.int32)
     denom = jnp.maximum(psize, 1e-12)[:, None]
     return csum / denom, nsum / denom, psize, vcount
 
@@ -305,13 +328,21 @@ def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps,
     repF = vvalid & (final_label == jnp.arange(V))
 
     # Per-voxel angle to its face's average normal -> per-face roughness
-    # theta (:660-667). One-hot contraction like _face_stats (no scatter).
+    # theta (:660-667). Same segment-reduce implementation switch as
+    # _face_stats (the one-hot here CSEs with the final _face_stats call's,
+    # so the matmul path costs no extra (V, V) materialization).
     fl = jnp.minimum(final_label, V - 1)
     ang = jnp.where(vvalid, jnp.abs(geometry.angle_deg(nF[fl], normal)), 0.0)
-    onehot = ((fl[:, None] == jnp.arange(V)[None, :]) & vvalid[:, None]).astype(
-        cloud_pts.dtype
-    )
-    asum = ang @ onehot
+    if V >= _SCATTER_STATS_MIN_V:
+        seg_t = jnp.where(vvalid, fl, V)
+        asum = jnp.zeros((V,), cloud_pts.dtype).at[seg_t].add(
+            ang, mode="drop"
+        )
+    else:
+        onehot = (
+            (fl[:, None] == jnp.arange(V)[None, :]) & vvalid[:, None]
+        ).astype(cloud_pts.dtype)
+        asum = ang @ onehot
     theta = asum / jnp.maximum(vcF.astype(cloud_pts.dtype), 1.0)
 
     # Top-16 faces by member-voxel count, desc; ties by slot index asc

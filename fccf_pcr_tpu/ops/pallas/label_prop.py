@@ -186,7 +186,7 @@ def _pack_stats(normal, centroid, valid, angle_thresh_deg):
 def label_propagate_pallas(
     normal, centroid, valid, angle_thresh_deg, l, k,
     sweeps_per_call: int = 2, max_calls: int = 32, interpret: bool = False,
-    bound=None,
+    bound=None, jump_rounds: int = 2,
 ):
     """Connected-component min labels of the affinity graph, via the fused
     kernel. Semantically identical to features.faces._pairwise_affinity +
@@ -241,13 +241,27 @@ def label_propagate_pallas(
     def jump(labels):
         # Path-halving between kernel calls: shortcut chains with O(V)
         # gathers so only a few O(V^2) sweep calls are needed (see
-        # features.faces.pointer_jump).
+        # features.faces.pointer_jump). Each round is a V-element random
+        # gather (~10 ns/element) at the STATIC V — pass 2's compacted
+        # call pays it at full V despite its tiny occupancy bound — so
+        # rounds are a measurable cost at building-scale V. A Gauss-Seidel
+        # convergence simulation on heritage-courtyard affinity graphs
+        # (6 instances, V=11264, 5.3-7.9k occupied) measured call counts
+        # IDENTICAL for J in {1, 2, 4, 8} (2-3 calls) and only +1 call at
+        # J=0 — the components are near-cliques (coplanar voxels are
+        # mutually affine at any distance), so long chains never form and
+        # 8 rounds were pure overhead (~0.9 ms/round/batch-4 at heritage).
+        # Default 2 keeps a margin; ANY schedule is exact (the convergence
+        # loop stops only when a full sweep is a no-op, which implies
+        # per-component-constant labels).
+        if jump_rounds == 0:
+            return labels
         l = labels.reshape(V)
 
         def body(_, x):
             return jnp.minimum(x, x[jnp.minimum(x, V - 1)])
 
-        l = jax.lax.fori_loop(0, 8, body, l)
+        l = jax.lax.fori_loop(0, jump_rounds, body, l)
         return jnp.where(valid, l, jnp.int32(_BIG)).reshape(1, V)
 
     def body(state):

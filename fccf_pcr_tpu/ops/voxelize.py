@@ -168,21 +168,44 @@ def sorted_segment_reduce(values, seg, num_segments, return_start=False):
     return sums, counts
 
 
-def _kth_true_positions(flag, S):
-    """pos[k] = index of the (k+1)-th True in ``flag`` (N,), by vectorized
-    binary search on the inclusive cumsum (monotone).
+def _kth_true_positions(flag, S, impl=None):
+    """pos[k] = index of the (k+1)-th True in ``flag`` (N,). Slots
+    k >= count return unspecified garbage; callers mask by the returned
+    count. Returns (pos (S,) int32, count () int32).
 
-    Costs S * ceil(log2 N) gathered elements — for the small segment
-    tables (S <= a few thousand) this replaces an N-update-row scatter
-    (scatter cost is bound by UPDATE rows, ~4.9 ms per 1M rows on v5e,
-    regardless of how small the output table is). Slots k >= count return
-    clamped garbage; callers mask by the returned count.
+    Two implementations with identical outputs at slots < count, chosen
+    by a static cost model (both shapes are static):
 
-    Returns (pos (S,) int32, count () int32).
+      - "bsearch": vectorized binary search on the inclusive cumsum —
+        S * ceil(log2 N) random gathered elements (~10 ns/element on
+        v5e). Wins for small tables over big clouds (office: V=1536,
+        N=131k).
+      - "scatter": ONE S-bounded scatter of the N row indices (~4.9 ms
+        per 1M update rows on v5e, independent of table size). Wins when
+        the table is large relative to the cloud (resso: V=9216 over
+        N=74k; heritage: V=11265 over N=246k).
+
+    The crossover uses the measured per-element constants (10 ns/gather
+    vs 5 ns/update-row): bsearch iff 2 * S * ceil(log2 N) < N.
     """
     n = flag.shape[0]
     c = jnp.cumsum(flag.astype(jnp.int32))  # inclusive, monotone
     count = c[-1]
+    if impl is None:
+        impl = "bsearch" if 2 * S * max(1, int(n - 1).bit_length()) < n \
+            else "scatter"
+    if impl == "scatter":
+        k = c - 1  # at True rows: 0-based rank of this True
+        idx = jnp.arange(n, dtype=jnp.int32)
+        # rank >= S is out of bounds for the (S,) buffer -> dropped; the
+        # surviving indices (one row per rank) are genuinely unique.
+        dest = jnp.where(flag, k, S)
+        pos = (
+            jnp.zeros((S,), jnp.int32)
+            .at[dest]
+            .set(idx, mode="drop", unique_indices=True)
+        )
+        return pos, count
     target = jnp.arange(1, S + 1, dtype=jnp.int32)
     lo = jnp.zeros((S,), jnp.int32)
     hi = jnp.full((S,), n - 1, jnp.int32)

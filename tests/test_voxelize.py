@@ -209,3 +209,24 @@ def test_sparse_stats_exclude_dropped_voxels_under_overflow():
     np.testing.assert_allclose(
         np.asarray(tight.cov), np.asarray(ample.cov)[:V], atol=1e-5
     )
+
+
+def test_kth_true_positions_impls_agree():
+    # Both boundary-table implementations (binary search vs rank scatter)
+    # must return identical positions at every slot < count, for sparse,
+    # dense, empty, and overflowing flag patterns.
+    from fccf_pcr_tpu.ops.voxelize import _kth_true_positions
+
+    rng = np.random.default_rng(0)
+    for n, S, p in [(1000, 64, 0.02), (1000, 64, 0.5), (1000, 8, 0.9),
+                    (257, 300, 0.3), (64, 4, 0.0)]:
+        flag = jnp.asarray(rng.random(n) < p)
+        pos_b, cnt_b = _kth_true_positions(flag, S, impl="bsearch")
+        pos_s, cnt_s = _kth_true_positions(flag, S, impl="scatter")
+        assert int(cnt_b) == int(cnt_s) == int(np.asarray(flag).sum())
+        k = min(int(cnt_b), S)
+        np.testing.assert_array_equal(
+            np.asarray(pos_b)[:k], np.asarray(pos_s)[:k]
+        )
+        expect = np.where(np.asarray(flag))[0][:k]
+        np.testing.assert_array_equal(np.asarray(pos_b)[:k], expect)
