@@ -47,15 +47,18 @@ class FCCFModel:
 # capacity (the hot pipeline's sort volume); max_raw_points is the
 # raw-load capacity consumed by the untimed CLI-level first VoxelGrid
 # pass (pre_downsample).
-_STANDARD_CAPS = Capacities(      # office: raw<=124k, down<=61k, vox<=1012,
-    max_points=1 << 16,           #   hyp<=1461, res<=16.3k, fine<=1133
-    max_raw_points=1 << 17,
-    max_voxels=1536,
+_STANDARD_CAPS = Capacities(      # office: raw<=124k, down<=61k, vox<=1019,
+    max_points=1 << 16,           #   match<=1610, hyp<=1954, res<=18.6k,
+    max_raw_points=1 << 17,       #   fine<=1408, span<=30 cells
+    max_voxels=1536,              # (8 bench seeds, tools/measure_content.py)
     max_matches=2048,
     max_hypotheses=2048,
     max_reps=256,
     max_clusters=2048,
-    max_residual=1 << 15,
+    # Residual feeds the fine-verify join (12 sorted joins of
+    # max_fine_voxels + max_residual rows per pair) — the tightest
+    # policy-compliant bound (>= 1.4x measured) cuts dead sort rows.
+    max_residual=28672,
     max_fine_voxels=2048,
 )
 
@@ -77,8 +80,8 @@ _STRUCTURED_CAPS = dataclasses.replace(  # stairs: raw<=112k, down<=31.2k,
     max_matches=4096,                    #   res<=19.7k, fine<=2578,
     max_hypotheses=6144,                 #   <=11 hits/match
     max_clusters=4096,                   # (8 seeds x 2 clouds per family,
-    max_residual=1 << 15,                #  tools/measure_content.py)
-    max_fine_voxels=3072,
+    max_residual=28672,                  #  tools/measure_content.py;
+    max_fine_voxels=3072,                #  res cap = 1.45x over 19.7k)
 )
 
 _OUTDOOR_CAPS = dataclasses.replace(  # cross-season (TPU path, 40 eval
@@ -86,7 +89,7 @@ _OUTDOOR_CAPS = dataclasses.replace(  # cross-season (TPU path, 40 eval
     max_raw_points=1 << 18,           #   vox<=1023, match<=1662, hyp<=2238
     max_matches=3072,                 #   (seed 6 — past the inherited 2048
     max_hypotheses=3072,              #   cap), res<=20k, fine<=1230
-    max_residual=1 << 15,
+    max_residual=28672,               # 1.43x over the 20k eval max
     max_fine_voxels=2048,
 )
 
@@ -98,22 +101,22 @@ _RESSO_CAPS = Capacities(   # facade family (tools/measure_content.py over
     max_hypotheses=2048,    #   res<=6.5k, fine<=1802, span<=120 cells
     max_reps=256,
     max_clusters=1024,
-    max_residual=1 << 14,
+    max_residual=10240,     # 1.57x over the 6.5k measured max
     max_fine_voxels=4096,
     wide_extent=True,       # RESSO blocks can span past the ~127 m
 )                           #   single-key budget (leaf 0.1 / face 1.0)
 
-_HERITAGE_CAPS = Capacities(  # courtyard family (measure_content, 4
-    max_points=245760,        #   seeds, leaf 0.2 / face 2.0): raw<=270k,
-    max_raw_points=294912,    #   down<=228k, vox<=7899, match<=1107,
-    max_voxels=11264,         #   hyp<=1610, seeds<=892, res<=36.5k,
-    max_matches=2048,         #   fine<=22.9k, span<=261 cells (0.5 m
-    max_hypotheses=3072,      #   fine voxel, no aliasing). Colonnade
-    max_reps=256,             #   parallel-plane fan-out reaches 30
-    max_clusters=2048,        #   third-plane hits on one match (eval
-    max_residual=1 << 16,     #   seed 38, TPU face path) — cap 40.
-    per_match_hits=40,
-    max_fine_voxels=1 << 15,
+_HERITAGE_CAPS = Capacities(  # courtyard family (measure_content, 8
+    max_points=245760,        #   seeds, leaf 0.2 / face 2.0): raw<=283k,
+    max_raw_points=294912,    #   down<=238k, vox<=8526, match<=960,
+    max_voxels=11264,         #   hyp<=1299, seeds<=954, res<=36.5k (40-
+    max_matches=2048,         #   seed eval max; 30.5k on the bench
+    max_hypotheses=3072,      #   seeds), fine<=22.9k, span<=281 cells
+    max_reps=256,             #   (0.5 m fine voxel, no aliasing).
+    max_clusters=2048,        # Colonnade parallel-plane fan-out reaches
+    max_residual=53248,       #   30 third-plane hits on one match (eval
+    per_match_hits=40,        #   seed 38, TPU face path) — cap 40.
+    max_fine_voxels=1 << 15,  # res cap = 1.46x over the eval max
     wide_extent=True,
 )
 
