@@ -152,30 +152,54 @@ def _label_propagate(affinity, valid, max_iters):
 
 # One-hot face-stats matmuls materialize a (V, V) f32 in HBM (~507 MB per
 # cloud at the heritage preset's V=11264); the scatter-add form is
-# update-row-bound (~5 ns/row measured on v5e) and touches only (V, 9).
+# update-row-bound (~5 ns/row measured on v5e) and touches only (V, D).
 # Selected per call by V so small presets keep the measured-fast MXU path.
 # Threshold pending a TPU A/B measurement (disabled until then).
 _SCATTER_STATS_MIN_V = 1 << 30
 
 
+def _label_segment_sum(values, labels, valid, V, impl=None):
+    """Per-label sums of ``values`` ((V,) or (V, D)) over arbitrary
+    slot-index labels (component min-index) — the unsorted segment
+    reduction shared by _face_stats and the theta roughness reduce, so
+    both always pick the SAME implementation (the one-hot expressions CSE
+    into one (V, V) materialization per label set). Two implementations,
+    identical up to f32 summation order:
+
+      - "onehot": (V, V) x (V, D) one-hot contraction on the MXU —
+        microseconds of FLOPs at V <= 8192, but the one-hot materializes
+        (V, V) f32 in HBM, which grows quadratically with the preset's V;
+      - "scatter": one V-row scatter-add — update-row-bound, no
+        quadratic intermediate; for building-scale V.
+
+    Rows with valid=False contribute nothing. ``impl=None`` selects by V
+    (see _SCATTER_STATS_MIN_V)."""
+    if impl is None:
+        impl = "scatter" if V >= _SCATTER_STATS_MIN_V else "onehot"
+    vals2d = values if values.ndim == 2 else values[:, None]
+    dt = vals2d.dtype
+    if impl == "scatter":
+        # Invalid rows scatter to index V -> out of bounds -> dropped.
+        seg = jnp.where(valid, jnp.minimum(labels, V - 1), V)
+        sums = (
+            jnp.zeros((V, vals2d.shape[1]), dt)
+            .at[seg]
+            .add(jnp.where(valid[:, None], vals2d, 0.0), mode="drop")
+        )
+    else:
+        seg = jnp.where(valid, jnp.minimum(labels, V - 1), V - 1)
+        onehot = (
+            (seg[:, None] == jnp.arange(V)[None, :]) & valid[:, None]
+        ).astype(dt)  # (voxel, face-slot)
+        sums = onehot.T @ vals2d
+    return sums if values.ndim == 2 else sums[:, 0]
+
+
 def _face_stats(labels, valid, count, centroid, normal, V, impl=None):
     """Weighted segment stats per face label (identical math to the
     reference's full recomputation loops, FCCF.cpp:570-586/:626-642).
-
-    Labels are arbitrary slot indices (component min-index), so this is an
-    unsorted segment reduction. Two implementations (same values up to f32
-    summation order):
-
-      - "onehot": (V, V) x (V, 8) one-hot contraction on the MXU —
-        microseconds of FLOPs at V <= 8192, but the one-hot materializes
-        (V, V) f32 in HBM, which grows quadratically with the preset's V;
-      - "scatter": one (V-row, 9-wide) scatter-add — update-row-bound,
-        no quadratic intermediate; for building-scale V.
-
-    ``impl=None`` selects by V (see _SCATTER_STATS_MIN_V)."""
+    Reduction via _label_segment_sum (implementation chosen by V)."""
     dt = centroid.dtype
-    if impl is None:
-        impl = "scatter" if V >= _SCATTER_STATS_MIN_V else "onehot"
     w = jnp.where(valid, count.astype(dt), 0.0)
     stats = jnp.concatenate(
         [
@@ -186,17 +210,7 @@ def _face_stats(labels, valid, count, centroid, normal, V, impl=None):
         ],
         axis=-1,
     )  # (V, 8)
-    if impl == "scatter":
-        # Rows of dropped/invalid voxels scatter to index V -> out of
-        # bounds for the (V, 8) buffer -> dropped.
-        seg = jnp.where(valid, jnp.minimum(labels, V - 1), V)
-        sums = jnp.zeros((V, 8), dt).at[seg].add(stats, mode="drop")
-    else:
-        seg = jnp.where(valid, jnp.minimum(labels, V - 1), V - 1)
-        onehot = (
-            (seg[:, None] == jnp.arange(V)[None, :]) & valid[:, None]
-        ).astype(dt)  # (voxel, face-slot)
-        sums = onehot.T @ stats
+    sums = _label_segment_sum(stats, labels, valid, V, impl=impl)
     csum, nsum = sums[:, 0:3], sums[:, 3:6]
     psize = sums[:, 6]
     vcount = jnp.round(sums[:, 7]).astype(jnp.int32)
@@ -328,21 +342,12 @@ def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps,
     repF = vvalid & (final_label == jnp.arange(V))
 
     # Per-voxel angle to its face's average normal -> per-face roughness
-    # theta (:660-667). Same segment-reduce implementation switch as
-    # _face_stats (the one-hot here CSEs with the final _face_stats call's,
-    # so the matmul path costs no extra (V, V) materialization).
+    # theta (:660-667). Same reduce (and impl) as _face_stats — on the
+    # one-hot path the expression CSEs with the final _face_stats call's
+    # one-hot, so it costs no extra (V, V) materialization.
     fl = jnp.minimum(final_label, V - 1)
     ang = jnp.where(vvalid, jnp.abs(geometry.angle_deg(nF[fl], normal)), 0.0)
-    if V >= _SCATTER_STATS_MIN_V:
-        seg_t = jnp.where(vvalid, fl, V)
-        asum = jnp.zeros((V,), cloud_pts.dtype).at[seg_t].add(
-            ang, mode="drop"
-        )
-    else:
-        onehot = (
-            (fl[:, None] == jnp.arange(V)[None, :]) & vvalid[:, None]
-        ).astype(cloud_pts.dtype)
-        asum = ang @ onehot
+    asum = _label_segment_sum(ang, final_label, vvalid, V)
     theta = asum / jnp.maximum(vcF.astype(cloud_pts.dtype), 1.0)
 
     # Top-16 faces by member-voxel count, desc; ties by slot index asc

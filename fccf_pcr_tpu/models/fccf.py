@@ -51,8 +51,8 @@ _STANDARD_CAPS = Capacities(      # office: raw<=124k, down<=61k, vox<=1019,
     max_points=1 << 16,           #   match<=1610, hyp<=1954, res<=18.6k,
     max_raw_points=1 << 17,       #   fine<=1408, span<=30 cells
     max_voxels=1536,              # (8 bench seeds, tools/measure_content.py)
-    max_matches=2048,
-    max_hypotheses=2048,
+    max_matches=2560,             # 1.59x over the 1610 measured max
+    max_hypotheses=3072,          # 1.57x over the 1954 measured max
     max_reps=256,
     max_clusters=2048,
     # Residual feeds the fine-verify join (12 sorted joins of
@@ -81,15 +81,15 @@ _STRUCTURED_CAPS = dataclasses.replace(  # stairs: raw<=112k, down<=31.2k,
     max_hypotheses=6144,                 #   <=11 hits/match
     max_clusters=4096,                   # (8 seeds x 2 clouds per family,
     max_residual=28672,                  #  tools/measure_content.py;
-    max_fine_voxels=3072,                #  res cap = 1.45x over 19.7k)
-)
+    max_fine_voxels=4096,                #  res cap = 1.45x over 19.7k;
+)                                        #  fine cap = 1.59x over 2578)
 
 _OUTDOOR_CAPS = dataclasses.replace(  # cross-season (TPU path, 40 eval
     _STANDARD_CAPS,                   #   seeds): raw<=102k, down<=57k,
     max_raw_points=1 << 18,           #   vox<=1023, match<=1662, hyp<=2238
     max_matches=3072,                 #   (seed 6 — past the inherited 2048
-    max_hypotheses=3072,              #   cap), res<=20k, fine<=1230
-    max_residual=28672,               # 1.43x over the 20k eval max
+    max_hypotheses=3584,              #   cap), res<=20k, fine<=1230
+    max_residual=28672,               # res 1.43x / hyp 1.60x over eval max
     max_fine_voxels=2048,
 )
 
@@ -109,14 +109,14 @@ _RESSO_CAPS = Capacities(   # facade family (tools/measure_content.py over
 _HERITAGE_CAPS = Capacities(  # courtyard family (measure_content, 8
     max_points=245760,        #   seeds, leaf 0.2 / face 2.0): raw<=283k,
     max_raw_points=294912,    #   down<=238k, vox<=8526, match<=960,
-    max_voxels=11264,         #   hyp<=1299, seeds<=954, res<=36.5k (40-
+    max_voxels=12288,         #   hyp<=1299, seeds<=954, res<=36.5k (40-
     max_matches=2048,         #   seed eval max; 30.5k on the bench
     max_hypotheses=3072,      #   seeds), fine<=22.9k, span<=281 cells
     max_reps=256,             #   (0.5 m fine voxel, no aliasing).
     max_clusters=2048,        # Colonnade parallel-plane fan-out reaches
     max_residual=53248,       #   30 third-plane hits on one match (eval
-    per_match_hits=40,        #   seed 38, TPU face path) — cap 40.
-    max_fine_voxels=1 << 15,  # res cap = 1.46x over the eval max
+    per_match_hits=48,        #   seed 38, TPU face path) — cap 48 (1.6x).
+    max_fine_voxels=1 << 15,  # res 1.46x / vox 1.44x over observed maxima
     wide_extent=True,
 )
 

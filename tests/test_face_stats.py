@@ -69,3 +69,14 @@ def test_all_invalid():
         assert float(jnp.abs(n).max()) == 0.0
         assert float(p.max()) == 0.0
         assert int(v.max()) == 0
+
+
+def test_label_segment_sum_1d_impls_agree():
+    from fccf_pcr_tpu.features.faces import _label_segment_sum
+
+    V = 128
+    labels, valid, count, centroid, normal = _random_inputs(9, V, 11)
+    vals = jnp.abs(normal[:, 0])
+    a = _label_segment_sum(vals, labels, valid, V, impl="onehot")
+    b = _label_segment_sum(vals, labels, valid, V, impl="scatter")
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
