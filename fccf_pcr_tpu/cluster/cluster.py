@@ -54,6 +54,15 @@ _YHAT = np.array([0.0, 1.0, 0.0], np.float32)
 
 _SEED_BLOCK = 512
 
+# Column-block the seed scan's ball/stats work too (a second dynamic
+# bound): each row block's (B, H) predicates/matmuls become an inner loop
+# of (B, B) tiles that stops at the occupied-column prefix, so scan cost
+# tracks content^2 instead of content x capacity. Exact by construction
+# (columns past the occupied prefix are masked in both paths — tested
+# equal). Off pending a TPU A/B: the win is the unoccupied column
+# fraction, the cost is inner-loop sequencing of smaller matmuls.
+_SEED_COL_BLOCKED = False
+
 
 class Representatives(NamedTuple):
     """Per-type cluster representatives (type-major leading axis)."""
@@ -112,19 +121,28 @@ def _greedy_seeds_all_types(masks, t, px, py, params):
     )  # (3, H, 10)
     stats_cols = jnp.moveaxis(stats_cols, 0, 1).reshape(H, n_types * 10)
 
+    # Blocks past the last valid index contain no valid rows or columns —
+    # compute the occupied block count once; both the row scan's trip
+    # count and (column-blocked path) the inner column loop stop there.
+    n_occ = jnp.max(last_idx) + 1
+    n_blocks = (n_occ + B - 1) // B
+
     def block(i, carry):
         covered, seeds, size, sums = carry
         b0 = i * B
         t_rows = jax.lax.dynamic_slice_in_dim(t, b0, B, 0)
         px_rows = jax.lax.dynamic_slice_in_dim(px, b0, B, 0)
-        geo = _ball_rows(t_rows, px_rows, t, px, params)          # (B, H)
-        geo_f = geo.astype(t.dtype)
-        geo_sub = jax.lax.dynamic_slice_in_dim(geo, b0, B, 1)     # (B, B)
-
         mask_rows = jax.lax.dynamic_slice_in_dim(masks, b0, B, 1)  # (3, B)
         elig_b = jax.lax.dynamic_slice_in_dim(
             eligible & ~covered, b0, B, 1
         )  # (3, B)
+
+        if not _SEED_COL_BLOCKED:
+            geo = _ball_rows(t_rows, px_rows, t, px, params)      # (B, H)
+            geo_f = geo.astype(t.dtype)
+            geo_sub = jax.lax.dynamic_slice_in_dim(geo, b0, B, 1)  # (B, B)
+        else:
+            geo_sub = _ball_rows(t_rows, px_rows, t_rows, px_rows, params)
         sub = geo_sub[None] & mask_rows[:, :, None] & mask_rows[:, None, :]
         sub_lower = sub & lower[None]
 
@@ -140,16 +158,46 @@ def _greedy_seeds_all_types(masks, t, px, py, params):
             (elig_b, jnp.bool_(True), jnp.int32(0)),
         )
         # coverage from this block's seeds to all indices of their lane:
-        # OR over seed rows == a (3, B) @ (B, H) count being positive
+        # OR over seed rows == a (3, B) @ (B, .) count being positive
         # (counts are small integers, exact in f32).
         s_eff = (s_b & mask_rows).astype(t.dtype)  # (3, B)
-        cov_hits = s_eff @ geo_f                   # (3, H)
-        cov_new = covered | ((cov_hits > 0.5) & masks)
+
+        if not _SEED_COL_BLOCKED:
+            cov_hits = s_eff @ geo_f               # (3, H)
+            cov_new = covered | ((cov_hits > 0.5) & masks)
+            # per-row cluster stats (valid wherever the row is a seed):
+            # members = the row's ball restricted to the type lane
+            # (allocated-or-not, the reference's overlap quirk).
+            ss = geo_f @ stats_cols                # (B, 3*10)
+        else:
+            # Inner column loop: the same predicates/matmuls, (B, B) tiles,
+            # stopping at the occupied-column prefix. Columns past n_occ
+            # have masks False (coverage there is irrelevant) and zeroed
+            # stats_cols rows (their contribution is exactly 0), so
+            # truncating the column space at the prefix is exact.
+            def col(j, cc):
+                covered2, ss_acc = cc
+                c0 = j * B
+                t_cols = jax.lax.dynamic_slice_in_dim(t, c0, B, 0)
+                px_cols = jax.lax.dynamic_slice_in_dim(px, c0, B, 0)
+                geo_jb = _ball_rows(t_rows, px_rows, t_cols, px_cols, params)
+                geo_jf = geo_jb.astype(t.dtype)
+                sc = jax.lax.dynamic_slice_in_dim(stats_cols, c0, B, 0)
+                ss_acc = ss_acc + geo_jf @ sc      # (B, 3*10)
+                hits = s_eff @ geo_jf              # (3, B)
+                mask_cols = jax.lax.dynamic_slice_in_dim(masks, c0, B, 1)
+                cov_col = jax.lax.dynamic_slice_in_dim(covered2, c0, B, 1)
+                cov_col = cov_col | ((hits > 0.5) & mask_cols)
+                covered2 = jax.lax.dynamic_update_slice(
+                    covered2, cov_col, (0, c0)
+                )
+                return covered2, ss_acc
+            cov_new, ss = jax.lax.fori_loop(
+                0, n_blocks, col,
+                (covered, jnp.zeros((B, n_types * 10), t.dtype)),
+            )
+
         seeds = jax.lax.dynamic_update_slice(seeds, s_b, (0, b0))
-        # per-row cluster stats (valid wherever the row is a seed):
-        # members = the row's ball restricted to the type lane
-        # (allocated-or-not, the reference's overlap quirk).
-        ss = geo_f @ stats_cols                    # (B, 3*10)
         ss = jnp.moveaxis(ss.reshape(B, n_types, 10), 1, 0)  # (3, B, 10)
         ss = ss * mask_rows[:, :, None].astype(t.dtype)
         size_b = ss[..., 9]
@@ -158,14 +206,11 @@ def _greedy_seeds_all_types(masks, t, px, py, params):
         sums = jax.lax.dynamic_update_slice(sums, sums_b, (0, b0, 0))
         return (cov_new, seeds, size, sums)
 
-    # Blocks past the last valid index contain no valid rows or columns
-    # — skip them at RUNTIME (dynamic trip count; under vmap the batch
-    # runs to the longest lane). Bounded by max(last_idx), not a
-    # popcount, so the skip stays correct even for non-prefix masks. At
-    # the structured preset the (prefix-compacted) pool fills ~60% of H,
-    # saving ~40% of the scan's ball/stats matmuls.
-    n_occ = jnp.max(last_idx) + 1
-    n_blocks = (n_occ + B - 1) // B
+    # Dynamic trip count: blocks past the last valid index skip at
+    # RUNTIME (under vmap the batch runs to the longest lane). Bounded by
+    # max(last_idx), not a popcount, so the skip stays correct even for
+    # non-prefix masks. At the structured preset the (prefix-compacted)
+    # pool fills ~60% of H, saving ~40% of the scan's ball/stats matmuls.
     (_, seeds, size, sums) = jax.lax.fori_loop(
         0,
         n_blocks,

@@ -143,3 +143,42 @@ def test_emission_stops_after_cluster_num():
     r_valid, _, _, _ = _emit(is_seed, sizes, 3.0)
     # break happens after push when size > cluster_num (:1208-1211)
     assert int(np.asarray(r_valid).sum()) == 4
+
+
+def test_column_blocked_scan_is_exact():
+    """The column-blocked seed scan (inner (B, B) tiles bounded by the
+    occupied-column prefix) must produce bit-identical seeds/sizes and
+    near-identical sums (f32 accumulation order differs) vs the full-width
+    path, including with multiple row blocks and a 3-type pool."""
+    import fccf_pcr_tpu.cluster.cluster as cc
+
+    rng = np.random.default_rng(5)
+    H = 1536  # 3 row blocks of 512
+    n_valid = 1100  # occupied prefix < H: the dynamic bounds matter
+    quat = rng.normal(size=(H, 4)).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    t = (rng.normal(size=(H, 3)) * 2.0).astype(np.float32)
+    types = rng.integers(0, 3, H)
+    valid = np.arange(H) < n_valid
+    masks = np.stack([valid & (types == k) for k in range(3)])
+    params = FCCFParams()
+
+    px = geometry.quat_rotate(jnp.asarray(quat), jnp.broadcast_to(_XHAT, (H, 3)))
+    py = geometry.quat_rotate(jnp.asarray(quat), jnp.broadcast_to(_YHAT, (H, 3)))
+
+    old = cc._SEED_COL_BLOCKED
+    try:
+        cc._SEED_COL_BLOCKED = False
+        s1, z1, m1 = cc._greedy_seeds_all_types(
+            jnp.asarray(masks), jnp.asarray(t), px, py, params
+        )
+        cc._SEED_COL_BLOCKED = True
+        s2, z2, m2 = cc._greedy_seeds_all_types(
+            jnp.asarray(masks), jnp.asarray(t), px, py, params
+        )
+    finally:
+        cc._SEED_COL_BLOCKED = old
+
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-3)
