@@ -295,6 +295,18 @@ def _probe_backend(timeout_s: float = 180.0):
             f"complete in {timeout_s:.0f}s — TPU tunnel down?)",
             file=sys.stderr, flush=True,
         )
+        # Emit an explicit infra-failure record (value 0, error field) so
+        # a recorded-but-zero headline is distinguishable from both a
+        # perf collapse (accuracy fields present, accuracy_ok) and a
+        # silent crash (no record at all).
+        print(json.dumps({
+            "metric": "scan_pairs_registered_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "pairs/s",
+            "vs_baseline": 0.0,
+            "error": "backend unreachable (TPU tunnel down); "
+                     "no measurement taken",
+        }), flush=True)
         raise SystemExit(3)
 
 
