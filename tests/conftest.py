@@ -24,8 +24,13 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
 # Persistent compilation cache: the heavy pipeline compiles once per
-# (params, caps) config and is reused across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-fccf-tests")
+# (params, caps) config and is reused across test runs. Host-keyed: a
+# stale cross-container cache entry (different CPU features) loads with
+# a different f32 reduction order and trips the golden bands — see
+# fccf_pcr_tpu/utils/cache.py.
+from fccf_pcr_tpu.utils.cache import host_keyed_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", host_keyed_cache_dir("tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from fccf_pcr_tpu.config import TEST_CAPS, FCCFParams  # noqa: E402

@@ -22,6 +22,15 @@ import pathlib
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Pin the EXACT environment tests/conftest.py runs under: the 8-virtual-
+# device CPU backend partitions f32 reductions differently than a
+# single-device one, shifting fine scores by ~4e-3 relative — fixtures
+# must be generated under the same backend the golden tests measure.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import numpy as np  # noqa: E402
 
@@ -44,7 +53,9 @@ def pipeline_golden():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-fccf-tests")
+    from fccf_pcr_tpu.utils.cache import host_keyed_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", host_keyed_cache_dir("tests"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import bench
@@ -72,10 +83,22 @@ def pipeline_golden():
         st = np.asarray(res.status).tolist()
         T_gt = np.stack([p[2] for p in pairs])
         rre, rte = registration_errors(T, T_gt)
+        # Pin the intermediate observables too (scores, counts, fusion
+        # mask): a change that swaps candidate sets while the final
+        # transform stays inside the drift band is still a regression
+        # worth surfacing.
+        qs = np.asarray(res.quick_score, np.float64)
+        fs = np.asarray(res.fine_score, np.float64)
+        nh = np.asarray(res.n_hypotheses)
+        nf = np.asarray(res.n_faces)
+        kept = np.asarray(res.kept)
         out["configs"][name] = [
             dict(seed=s, T=T[k].tolist(), status=int(st[k]),
                  rre_gt=float(np.asarray(rre)[k]),
-                 rte_gt=float(np.asarray(rte)[k]))
+                 rte_gt=float(np.asarray(rte)[k]),
+                 quick_score=qs[k].tolist(), fine_score=fs[k].tolist(),
+                 n_hypotheses=int(nh[k]), n_faces=nf[k].tolist(),
+                 kept=kept[k].tolist())
             for k, s in enumerate(PIPE_SEEDS)
         ]
         print(f"[pipeline] {name}: rre={np.asarray(rre)} rte={np.asarray(rte)}",

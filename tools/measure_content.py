@@ -174,7 +174,9 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    from fccf_pcr_tpu.utils.cache import host_keyed_cache_dir
+    jax.config.update("jax_compilation_cache_dir",
+                      host_keyed_cache_dir("measure"))
 
     from fccf_pcr_tpu.config import Capacities, FCCFParams
     from fccf_pcr_tpu.io import synthetic
