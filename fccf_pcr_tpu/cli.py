@@ -77,6 +77,12 @@ def main(argv=None):
     ap.add_argument("--out", default=None, metavar="JSONL",
                     help="with --batch: stream per-pair records to this file "
                          "(checkpoint/resume on restart)")
+    ap.add_argument("--escalate-caps", default=None, metavar="PRESET",
+                    choices=["default", "large", *(k for k in _REG if k != "tiny")],
+                    help="with --batch + --out: re-run any pair whose status "
+                         "shows a capacity hit under this larger preset "
+                         "(content-adaptive dual-capacity execution; lets "
+                         "--caps stay tight for the common case)")
     ap.add_argument("--native-io", action="store_true",
                     help="load the scan list with the threaded C++ batch "
                          "loader (csrc/, falls back to python)")
@@ -146,6 +152,10 @@ def main(argv=None):
         records, summary = run_sweep(
             pairs, params, caps, batch_size=min(8, len(pairs)),
             out_path=args.out,
+            escalate_caps=(
+                _caps_preset(args.escalate_caps)
+                if args.escalate_caps else None
+            ),
         )
         print(json.dumps({"summary": summary, "out": args.out}))
         return 0

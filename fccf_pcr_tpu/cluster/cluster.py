@@ -48,6 +48,7 @@ from ..config import Capacities, FCCFParams
 from ..hypotheses.transforms import Hypotheses
 from ..ops import geometry
 from ..ops.voxelize import compact
+from ..utils.tuning import env_bool
 
 _XHAT = np.array([1.0, 0.0, 0.0], np.float32)
 _YHAT = np.array([0.0, 1.0, 0.0], np.float32)
@@ -61,7 +62,8 @@ _SEED_BLOCK = 512
 # (columns past the occupied prefix are masked in both paths — tested
 # equal). Off pending a TPU A/B: the win is the unoccupied column
 # fraction, the cost is inner-loop sequencing of smaller matmuls.
-_SEED_COL_BLOCKED = False
+# (FCCF_SEED_COL_BLOCKED=1 flips it per process for that A/B.)
+_SEED_COL_BLOCKED = env_bool("FCCF_SEED_COL_BLOCKED", False)
 
 
 class Representatives(NamedTuple):

@@ -35,6 +35,7 @@ import numpy as np
 from ..config import Capacities, FCCFParams
 from ..ops import eigen3, geometry
 from ..ops.voxelize import compact, voxel_stats
+from ..utils.tuning import env_int
 
 _BIG = np.int32(2**30)
 
@@ -154,8 +155,9 @@ def _label_propagate(affinity, valid, max_iters):
 # cloud at the heritage preset's V=11264); the scatter-add form is
 # update-row-bound (~5 ns/row measured on v5e) and touches only (V, D).
 # Selected per call by V so small presets keep the measured-fast MXU path.
-# Threshold pending a TPU A/B measurement (disabled until then).
-_SCATTER_STATS_MIN_V = 1 << 30
+# Threshold pending a TPU A/B measurement (disabled until then;
+# FCCF_SCATTER_STATS_MIN_V overrides per process for that A/B).
+_SCATTER_STATS_MIN_V = env_int("FCCF_SCATTER_STATS_MIN_V", 1 << 30)
 
 
 def _label_segment_sum(values, labels, valid, V, impl=None):

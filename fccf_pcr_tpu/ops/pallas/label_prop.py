@@ -32,6 +32,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils.tuning import env_int
+
+# A/B overrides for the sweep schedule (any schedule reaches the same
+# fixpoint — tests/test_pallas_label_prop.py pins schedule invariance;
+# see utils/tuning.py and the jump() comment below for the measurements).
+_DEFAULT_SWEEPS = env_int("FCCF_SWEEPS_PER_CALL", 2)
+_DEFAULT_JUMP = env_int("FCCF_JUMP_ROUNDS", 2)
+
 _BIG = 2**30  # python int: jnp scalars become captured consts in kernels
 
 BI = 128   # default i-block (rows updated per grid step)
@@ -185,8 +193,8 @@ def _pack_stats(normal, centroid, valid, angle_thresh_deg):
 
 def label_propagate_pallas(
     normal, centroid, valid, angle_thresh_deg, l, k,
-    sweeps_per_call: int = 2, max_calls: int = 32, interpret: bool = False,
-    bound=None, jump_rounds: int = 2,
+    sweeps_per_call: int | None = None, max_calls: int = 32,
+    interpret: bool = False, bound=None, jump_rounds: int | None = None,
 ):
     """Connected-component min labels of the affinity graph, via the fused
     kernel. Semantically identical to features.faces._pairwise_affinity +
@@ -196,7 +204,15 @@ def label_propagate_pallas(
     With prefix-compacted slots this prunes each sweep to the occupied
     (bound, bound) corner at runtime; semantics are unchanged because
     out-of-bound slots are invalid by contract (asserted in interpret/test
-    paths by the caller)."""
+    paths by the caller).
+
+    ``sweeps_per_call`` / ``jump_rounds`` default to the module schedule
+    (2/2, overridable per process via FCCF_SWEEPS_PER_CALL /
+    FCCF_JUMP_ROUNDS for on-chip A/Bs — any schedule is exact)."""
+    if sweeps_per_call is None:
+        sweeps_per_call = _DEFAULT_SWEEPS
+    if jump_rounds is None:
+        jump_rounds = _DEFAULT_JUMP
     V = normal.shape[0]
     bi, bj = _block_sizes(V)
     assert V % bi == 0 and V % bj == 0, f"V={V} must be a multiple of {bj}"

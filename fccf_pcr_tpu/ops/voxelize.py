@@ -34,6 +34,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.tuning import env_choice
+
+# A/B override for the boundary-table implementation (see
+# _kth_true_positions and utils/tuning.py); "auto" = static cost model.
+_KTH_IMPL = env_choice("FCCF_KTH_IMPL", "auto", ("auto", "bsearch", "scatter"))
+
 _SENT = jnp.iinfo(jnp.int32).max
 
 # Packed-key extent limits (cells): z-major like PCL leaf ordering.
@@ -192,6 +198,8 @@ def _kth_true_positions(flag, S, impl=None):
     c = jnp.cumsum(flag.astype(jnp.int32))  # inclusive, monotone
     count = c[-1]
     if impl is None:
+        impl = _KTH_IMPL
+    if impl == "auto":
         impl = "bsearch" if 2 * S * max(1, int(n - 1).bit_length()) < n \
             else "scatter"
     if impl == "scatter":

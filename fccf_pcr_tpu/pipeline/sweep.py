@@ -21,6 +21,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Status bits a larger-capacity recompile can actually clear (pipeline
+# truncation, not geometry): everything except DEGENERATE (no type scored)
+# and FINE_ALIAS (source-residual extent, independent of any capacity).
+ESCALATION_STATUS_MASK = 1 | 2 | 8 | 16 | 32  # VOXEL|HYP|REP|RESIDUAL|FINE
+
+
+def needs_escalation(record: dict) -> bool:
+    """True when a sweep record shows a capacity hit a larger-caps re-run
+    could clear (see ESCALATION_STATUS_MASK; preprocess truncation is a
+    capacity hit too — max_raw_points / max_points)."""
+    return bool(record.get("preprocess_overflow")) or bool(
+        record["status"] & ESCALATION_STATUS_MASK
+    )
+
 
 def _chunk(lst, n):
     for i in range(0, len(lst), n):
@@ -36,6 +50,7 @@ def run_sweep(
     use_mesh: bool = True,
     out_path: str | None = None,
     resume: bool = True,
+    escalate_caps=None,
 ):
     """Register a list of (src_points, tar_points) pairs.
 
@@ -46,6 +61,22 @@ def run_sweep(
     Checkpoint/resume: with ``out_path`` + ``resume``, per-pair records are
     appended as they complete and pairs already present in the file are
     skipped on restart — a long sweep survives preemption (SURVEY.md §5).
+
+    Content-adaptive dual-capacity execution (``escalate_caps``): the
+    fixed-shape pipeline sizes every stage bound at compile time, so the
+    static policy (>=1.4x headroom over measured family maxima,
+    models/fccf.py) makes EVERY pair pay wall-clock for content that occurs
+    on a few. The reference never faces this: its std::vector stages grow
+    per pair (FCCF.cpp throughout). Passing ``escalate_caps`` restores that
+    elasticity at the session level — the sweep runs at the (tight) ``caps``
+    first, then recompiles at ``escalate_caps`` and re-runs exactly the
+    pairs whose records show a capacity hit (``needs_escalation``; the
+    status contract guarantees every truncation raises its bit —
+    tests/test_overflow.py forces each one). Escalated records replace the
+    tight ones (keeping the tight status in ``status_tight``) and are
+    re-appended to the JSONL, where resume's last-record-wins load order
+    picks them up. Escalation wall-clock counts toward the throughput
+    summary (same first-batch-is-compile exclusion as the main pass).
     """
     import os
 
@@ -65,77 +96,127 @@ def run_sweep(
 
     devices = jax.devices()
     mesh = None
-    if use_mesh and len(devices) > 1 and batch_size % len(devices) == 0:
-        from ..parallel.mesh import make_mesh, make_sharded_register_fn
+    use_mesh = use_mesh and len(devices) > 1 and batch_size % len(devices) == 0
+    if use_mesh:
+        from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(devices)
-        fn = make_sharded_register_fn(params, caps, mesh)
-    else:
-        fn = make_register_fn(params, caps, batched=True)
 
-    # CLI-level first downsample (FCCF.cpp:1668-1678), raw-capacity in,
-    # hot-pipeline capacity out (see register.pre_downsample). Built once:
-    # a per-chunk lambda would recompile every batch. Truncation at either
-    # capacity is surfaced in the per-pair records, never silent.
-    pre = jax.jit(jax.vmap(lambda p, m: pre_downsample(p, m, params, caps)))
+    def build(stage_caps):
+        """(pre, register) jitted at one capacity config; built once per
+        config — a per-chunk lambda would recompile every batch."""
+        if mesh is not None:
+            from ..parallel.mesh import make_sharded_register_fn
 
-    records = list(done.values())
+            fn = make_sharded_register_fn(params, stage_caps, mesh)
+        else:
+            fn = make_register_fn(params, stage_caps, batched=True)
+        # CLI-level first downsample (FCCF.cpp:1668-1678), raw-capacity in,
+        # hot-pipeline capacity out (see register.pre_downsample).
+        # Truncation at either capacity is surfaced in the per-pair
+        # records, never silent.
+        pre = jax.jit(
+            jax.vmap(lambda p, m: pre_downsample(p, m, params, stage_caps))
+        )
+        return pre, fn
+
+    out_f = open(out_path, "a") if out_path else None
     total_time = 0.0
     n_done = 0
-    out_f = open(out_path, "a") if out_path else None
-    todo = [i for i in range(len(pairs)) if i not in done]
-    for chunk_idx, chunk in enumerate(_chunk(todo, batch_size)):
-        idxs = list(chunk)
-        # pad the final chunk to the batch size (masked-out dummy pairs)
-        pad_to = batch_size
-        eff = idxs + [idxs[-1]] * (pad_to - len(idxs))
-        sp, sm, tp, tm = [], [], [], []
-        raw_ovf = []
-        for i in eff:
-            s, t = pairs[i]
-            raw_ovf.append(
-                len(s) > caps.raw_points or len(t) > caps.raw_points
-            )
-            a, b = pad_points(np.asarray(s, np.float32), caps.raw_points)
-            c, d = pad_points(np.asarray(t, np.float32), caps.raw_points)
-            sp.append(a); sm.append(b); tp.append(c); tm.append(d)
-        sp, sm, tp, tm = map(np.stack, (sp, sm, tp, tm))
-        sp, sm, s_ovf = pre(sp, sm)
-        tp, tm, t_ovf = pre(tp, tm)
-        pre_ovf = np.asarray(s_ovf) | np.asarray(t_ovf) | np.asarray(raw_ovf)
 
-        t0 = time.time()
-        res = fn(sp, sm, tp, tm)
-        jax.block_until_ready(res)
-        dt = time.time() - t0
-        if chunk_idx > 0:  # exclude compile step from throughput
-            total_time += dt
-            n_done += len(idxs)
-
-        T = np.asarray(res.transform)
-        for k, i in enumerate(idxs):
-            rec = {
-                "pair": i,
-                "preprocess_overflow": bool(pre_ovf[k]),
-                "transform": T[k].tolist(),
-                "quick_score": np.asarray(res.quick_score[k]).tolist(),
-                "fine_score": np.asarray(res.fine_score[k]).tolist(),
-                "n_faces": np.asarray(res.n_faces[k]).tolist(),
-                "n_hypotheses": int(res.n_hypotheses[k]),
-                "status": int(res.status[k]),
-                "batch_time_s": dt,
-            }
-            if ground_truth is not None and ground_truth[i] is not None:
-                rre, rte = registration_errors(
-                    jnp.asarray(T[k]), jnp.asarray(ground_truth[i], jnp.float32)
+    def run_pass(todo, stage_caps, escalated, tight_status=None):
+        """One compiled pass over pair indices ``todo``; returns records."""
+        nonlocal total_time, n_done
+        pre, fn = build(stage_caps)
+        pass_records = []
+        for chunk_idx, chunk in enumerate(_chunk(todo, batch_size)):
+            idxs = list(chunk)
+            # pad the final chunk to the batch size (masked-out dummy pairs)
+            eff = idxs + [idxs[-1]] * (batch_size - len(idxs))
+            sp, sm, tp, tm = [], [], [], []
+            raw_ovf = []
+            for i in eff:
+                s, t = pairs[i]
+                raw_ovf.append(
+                    len(s) > stage_caps.raw_points
+                    or len(t) > stage_caps.raw_points
                 )
-                rec["rre_deg"] = float(rre)
-                rec["rte_m"] = float(rte)
-            records.append(rec)
-            if out_f is not None:
-                out_f.write(json.dumps(rec) + "\n")
-                out_f.flush()
+                a, b = pad_points(
+                    np.asarray(s, np.float32), stage_caps.raw_points
+                )
+                c, d = pad_points(
+                    np.asarray(t, np.float32), stage_caps.raw_points
+                )
+                sp.append(a); sm.append(b); tp.append(c); tm.append(d)
+            sp, sm, tp, tm = map(np.stack, (sp, sm, tp, tm))
+            sp, sm, s_ovf = pre(sp, sm)
+            tp, tm, t_ovf = pre(tp, tm)
+            pre_ovf = (
+                np.asarray(s_ovf) | np.asarray(t_ovf) | np.asarray(raw_ovf)
+            )
 
+            t0 = time.time()
+            res = fn(sp, sm, tp, tm)
+            jax.block_until_ready(res)
+            dt = time.time() - t0
+            if chunk_idx > 0:  # exclude compile step from throughput
+                total_time += dt
+                if not escalated:  # escalated pairs already counted once
+                    n_done += len(idxs)
+
+            T = np.asarray(res.transform)
+            for k, i in enumerate(idxs):
+                rec = {
+                    "pair": i,
+                    "preprocess_overflow": bool(pre_ovf[k]),
+                    "transform": T[k].tolist(),
+                    "quick_score": np.asarray(res.quick_score[k]).tolist(),
+                    "fine_score": np.asarray(res.fine_score[k]).tolist(),
+                    "n_faces": np.asarray(res.n_faces[k]).tolist(),
+                    "n_hypotheses": int(res.n_hypotheses[k]),
+                    "status": int(res.status[k]),
+                    "batch_time_s": dt,
+                }
+                if escalated:
+                    rec["escalated"] = True
+                    rec["status_tight"] = tight_status[i]
+                if ground_truth is not None and ground_truth[i] is not None:
+                    rre, rte = registration_errors(
+                        jnp.asarray(T[k]),
+                        jnp.asarray(ground_truth[i], jnp.float32),
+                    )
+                    rec["rre_deg"] = float(rre)
+                    rec["rte_m"] = float(rte)
+                pass_records.append(rec)
+                if out_f is not None:
+                    out_f.write(json.dumps(rec) + "\n")
+                    out_f.flush()
+        return pass_records
+
+    todo = [i for i in range(len(pairs)) if i not in done]
+    by_pair = dict(done)
+    for rec in run_pass(todo, caps, escalated=False):
+        by_pair[rec["pair"]] = rec
+
+    n_escalated = 0
+    if escalate_caps is not None:
+        # include resumed records: a sweep interrupted between the tight
+        # pass and the escalation pass still escalates on restart (records
+        # already escalated once never re-run, even if the large caps also
+        # truncated — that status is final)
+        flagged = sorted(
+            i
+            for i, rec in by_pair.items()
+            if needs_escalation(rec) and not rec.get("escalated")
+        )
+        n_escalated = len(flagged)
+        tight = {i: by_pair[i]["status"] for i in flagged}
+        for rec in run_pass(
+            flagged, escalate_caps, escalated=True, tight_status=tight
+        ):
+            by_pair[rec["pair"]] = rec
+
+    records = list(by_pair.values())
     summary = {
         "n_pairs": len(pairs),
         "n_resumed": len(done),
@@ -143,6 +224,8 @@ def run_sweep(
         "n_devices": len(devices),
         "sharded": mesh is not None,
     }
+    if escalate_caps is not None:
+        summary["n_escalated"] = n_escalated
     if ground_truth is not None and any("rre_deg" in r for r in records):
         rres = [r["rre_deg"] for r in records if "rre_deg" in r]
         rtes = [r["rte_m"] for r in records if "rte_m" in r]

@@ -18,14 +18,36 @@ import platform
 
 
 def host_keyed_cache_dir(tag: str) -> str:
-    """A /tmp cache path namespaced by (machine, CPU flags, python)."""
+    """A /tmp cache path namespaced by (machine, CPU identity, python,
+    jax/jaxlib versions).
+
+    The fingerprint includes the CPU *model/stepping/microcode*, not just
+    the feature flags: LLVM derives tuning features (e.g.
+    ``prefer-no-gather``, set for Downfall-mitigated Intel parts) from the
+    model, so two hosts with identical cpuinfo ``flags`` can still compile
+    incompatible AOT executables — observed as cross-host "machine type
+    doesn't match" loads through a /tmp shared across container hosts."""
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next(
-                (line for line in f if line.startswith("flags")), ""
-            )
+            for line in f:
+                if line.startswith(
+                    ("flags", "model name", "model\t", "stepping", "microcode")
+                ):
+                    ident.append(line.strip())
+                if line.startswith("power management"):  # end of first CPU
+                    break
     except OSError:
-        flags = ""
-    key = "|".join([platform.machine(), platform.python_version(), flags])
+        pass
+    try:
+        import jax
+        import jaxlib
+
+        versions = f"{jax.__version__}|{jaxlib.__version__}"
+    except Exception:
+        versions = "unknown"
+    key = "|".join(
+        [platform.machine(), platform.python_version(), versions, *ident]
+    )
     h = hashlib.sha1(key.encode()).hexdigest()[:10]
     return f"/tmp/jaxcache-fccf-{tag}-{h}"

@@ -1,4 +1,5 @@
-"""Sweep driver: batching, records, checkpoint/resume, mesh sharding."""
+"""Sweep driver: batching, records, checkpoint/resume, mesh sharding,
+content-adaptive capacity escalation."""
 
 import json
 
@@ -6,7 +7,11 @@ import numpy as np
 import pytest
 
 from fccf_pcr_tpu.io import synthetic
-from fccf_pcr_tpu.pipeline.sweep import run_sweep
+from fccf_pcr_tpu.pipeline.sweep import (
+    ESCALATION_STATUS_MASK,
+    needs_escalation,
+    run_sweep,
+)
 
 
 @pytest.fixture(scope="module")
@@ -118,6 +123,99 @@ def test_sharded_wide_extent_equals_unsharded(params, caps, sweep_pairs):
             atol=5e-4 if name in score_fields else 1e-5,
             err_msg=f"field {name} diverges between sharded and unsharded",
         )
+
+
+def test_needs_escalation_classifies_status_bits():
+    from fccf_pcr_tpu.pipeline import register as R
+
+    capacity_bits = [
+        R.STATUS_VOXEL_OVERFLOW,
+        R.STATUS_HYPOTHESIS_OVERFLOW,
+        R.STATUS_REP_OVERFLOW,
+        R.STATUS_RESIDUAL_OVERFLOW,
+        R.STATUS_FINE_OVERFLOW,
+    ]
+    for bit in capacity_bits:
+        assert ESCALATION_STATUS_MASK & bit
+        assert needs_escalation({"status": bit})
+    # not capacity hits: geometry (DEGENERATE) and source-residual extent
+    # (FINE_ALIAS) — a larger-caps recompile cannot clear either.
+    assert not needs_escalation({"status": R.STATUS_DEGENERATE})
+    assert not needs_escalation({"status": R.STATUS_FINE_ALIAS})
+    assert not needs_escalation({"status": 0})
+    # preprocess truncation is a capacity hit (max_raw_points / max_points)
+    assert needs_escalation({"status": 0, "preprocess_overflow": True})
+
+
+def test_sweep_capacity_escalation(params, caps, tmp_path):
+    """Dual-capacity sweep: tight caps sized under the big pairs' raw size
+    force a deterministic preprocess truncation; escalation must re-run
+    exactly those pairs at the full caps and reproduce the full-caps
+    result, leaving the small pair's tight-caps record untouched."""
+    small = synthetic.make_pair(
+        seed=21, points_per_plane=400, clutter_points=200,
+        room=(8.0, 6.0, 3.0),
+    )
+    # big pairs must still fit the full caps' raw capacity (TEST_CAPS
+    # max_points=8192; ~7.4k raw points at 700/350) so escalation clears
+    # the truncation instead of re-flagging it
+    big1 = synthetic.make_pair(
+        seed=22, points_per_plane=700, clutter_points=350,
+        room=(8.0, 6.0, 3.0),
+    )
+    big2 = synthetic.make_pair(
+        seed=23, points_per_plane=700, clutter_points=350,
+        room=(8.0, 6.0, 3.0),
+    )
+    pairs = [(small[0], small[1]), (big1[0], big1[1]), (big2[0], big2[1])]
+    gt = [np.asarray(p[2]) for p in (small, big1, big2)]
+    sizes = [max(len(s), len(t)) for s, t in pairs]
+    assert sizes[0] < min(sizes[1:]), "generator sizes changed; retune test"
+    thr = (sizes[0] + min(sizes[1:])) // 2
+    tight = caps.replace(max_raw_points=thr)
+
+    out = str(tmp_path / "esc.jsonl")
+    records, summary = run_sweep(
+        pairs, params, tight, batch_size=2, ground_truth=gt,
+        use_mesh=False, out_path=out, escalate_caps=caps,
+    )
+    by_pair = {r["pair"]: r for r in records}
+    assert summary["n_escalated"] == 2
+    assert "escalated" not in by_pair[0]
+    for i in (1, 2):
+        rec = by_pair[i]
+        assert rec["escalated"] is True
+        assert "status_tight" in rec
+        assert not rec["preprocess_overflow"]
+        assert not needs_escalation(rec)
+        assert rec["rre_deg"] < 1.0 and rec["rte_m"] < 0.25
+
+    # escalated output == a straight full-caps sweep of the same pairs
+    # (same compiled function, same inputs; vmap elements are independent,
+    # so batch composition cannot change a pair's result)
+    full_records, _ = run_sweep(
+        pairs, params, caps, batch_size=2, ground_truth=gt, use_mesh=False,
+    )
+    full = {r["pair"]: r for r in full_records}
+    for i in (1, 2):
+        np.testing.assert_allclose(
+            np.asarray(by_pair[i]["transform"]),
+            np.asarray(full[i]["transform"]),
+            atol=1e-6,
+        )
+
+    # resume: last-record-wins load order picks the escalated records up
+    lines = [l for l in open(out) if "summary" not in l]
+    with open(out, "w") as f:
+        f.writelines(lines)
+    records2, summary2 = run_sweep(
+        pairs, params, tight, batch_size=2, ground_truth=gt,
+        use_mesh=False, out_path=out, escalate_caps=caps,
+    )
+    assert summary2["n_resumed"] == 3
+    assert summary2["n_escalated"] == 0
+    by_pair2 = {r["pair"]: r for r in records2}
+    assert by_pair2[1].get("escalated") is True
 
 
 def test_sweep_sharded_over_mesh(params, caps, sweep_pairs):

@@ -1,0 +1,240 @@
+"""Scripted on-chip A/B measurement session.
+
+Executes the pending hardware measurement plan (docs/ROADMAP.md, "Pending
+hardware measurements") as a serial chain of one-process-per-measurement
+``bench.py`` runs — the discipline the remote-TPU tunnel demands: no
+concurrent host work, ONE config per process, implementation variants
+selected by environment knobs (utils/tuning.py) so no source edit happens
+mid-session. Results append to a JSONL; completed steps are skipped on
+restart, so the session is resumable after a tunnel drop.
+
+Usage:
+    python tools/tpu_ab.py                 # run every pending step
+    python tools/tpu_ab.py --only kth      # substring filter on step names
+    python tools/tpu_ab.py --list          # show the plan and what's done
+    python tools/tpu_ab.py --report        # A/B deltas vs declared baselines
+
+Adoption rules (read the report, then edit defaults):
+  - a variant wins only if pairs/s improves beyond tunnel noise (~±2%)
+    with accuracy_ok and unchanged statuses;
+  - accuracy-affecting knobs (FCCF_SCATTER_STATS_MIN_V changes f32
+    summation order) additionally need a clean
+    ``tools/evaluate.py --configs resso,heritage --seeds 16`` spot-check
+    before the default moves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS = os.path.join(ROOT, "tpu_ab_results.jsonl")
+STEP_TIMEOUT_S = 1500
+
+# (name, bench config | None, env overrides, baseline step | None).
+# Order matters: baselines run first so every A/B compares within-session
+# numbers (tunnel conditions drift across sessions).
+STEPS = [
+    # Fresh per-config baselines — these double as the stale re-bench of
+    # the late-round-3 V-adaptive j-chunk tiling change (ROADMAP item 6).
+    ("base/office", "office", {}, None),
+    ("base/apartment", "apartment", {}, None),
+    ("base/cross-season", "cross-season", {}, None),
+    ("base/sweep", "sweep", {}, None),
+    ("base/structured", "structured", {}, None),
+    ("base/resso", "resso", {}, None),
+    ("base/heritage", "heritage", {}, None),
+    # E4 boundary-table impl: the cost model auto-selects "scatter" for
+    # these three; force "bsearch" to confirm (office/apartment already
+    # auto-select bsearch — nothing to measure there).
+    ("kth-bsearch/structured", "structured",
+     {"FCCF_KTH_IMPL": "bsearch"}, "base/structured"),
+    ("kth-bsearch/resso", "resso",
+     {"FCCF_KTH_IMPL": "bsearch"}, "base/resso"),
+    ("kth-bsearch/heritage", "heritage",
+     {"FCCF_KTH_IMPL": "bsearch"}, "base/heritage"),
+    # E2 face-stats scatter for building-scale V (accuracy-affecting:
+    # needs the evaluate.py spot-check before adopting).
+    ("stat-scatter/heritage", "heritage",
+     {"FCCF_SCATTER_STATS_MIN_V": "8192"}, "base/heritage"),
+    ("stat-scatter/resso", "resso",
+     {"FCCF_SCATTER_STATS_MIN_V": "8192"}, "base/resso"),
+    # E1 label-prop sweep schedule (any schedule is exact; convergence
+    # sims say calls are schedule-invariant, so this measures overhead).
+    ("sched-s4j0/heritage", "heritage",
+     {"FCCF_SWEEPS_PER_CALL": "4", "FCCF_JUMP_ROUNDS": "0"},
+     "base/heritage"),
+    ("sched-s4j0/structured", "structured",
+     {"FCCF_SWEEPS_PER_CALL": "4", "FCCF_JUMP_ROUNDS": "0"},
+     "base/structured"),
+    ("sched-s2j1/heritage", "heritage",
+     {"FCCF_JUMP_ROUNDS": "1"}, "base/heritage"),
+    # E3 column-blocked cluster seed scan (exact; tested equal on CPU).
+    ("colblock/structured", "structured",
+     {"FCCF_SEED_COL_BLOCKED": "1"}, "base/structured"),
+    ("colblock/office", "office",
+     {"FCCF_SEED_COL_BLOCKED": "1"}, "base/office"),
+    # Mosaic per-lane gather probe (ROADMAP item 7).
+    ("probe/gather", None, {}, None),
+]
+
+
+def load_results(path=RESULTS):
+    done = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                done[rec["step"]] = rec  # last record wins
+    return done
+
+
+def step_done(entry, cfg):
+    """A step counts as done only with a real measurement: probe steps
+    need any completed run; bench steps need a record that is not the
+    fail-fast infra-failure JSON (which also carries "metric")."""
+    if not entry:
+        return False
+    if cfg is None:
+        return entry.get("exit_code") == 0
+    rec = entry.get("record")
+    return bool(rec) and "error" not in rec
+
+
+def parse_record(text):
+    """Find the bench JSON record in stdout/stderr ('# [cfg] {...}' or a
+    bare JSON line)."""
+    for line in reversed(text.splitlines()):
+        i = line.find('{"metric"')
+        if i >= 0:
+            try:
+                return json.loads(line[i:])
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def run_step(name, cfg, env):
+    if cfg is None:  # probe step: record raw output
+        cmd = [sys.executable, "-u", os.path.join("tools", "probe_gather.py")]
+    else:
+        cmd = [sys.executable, "-u", "bench.py", "--config", cfg]
+    t0 = time.time()
+    try:
+        p = subprocess.run(
+            cmd, cwd=ROOT, env={**os.environ, **env},
+            capture_output=True, text=True, timeout=STEP_TIMEOUT_S,
+        )
+        code, out, err = p.returncode, p.stdout, p.stderr
+    except subprocess.TimeoutExpired as e:
+        code = -1
+        out = (e.stdout or b"").decode(errors="replace") if isinstance(
+            e.stdout, bytes) else (e.stdout or "")
+        err = (e.stderr or b"").decode(errors="replace") if isinstance(
+            e.stderr, bytes) else (e.stderr or "")
+    rec = {
+        "step": name,
+        "config": cfg,
+        "env": env,
+        "exit_code": code,
+        "elapsed_s": round(time.time() - t0, 1),
+        "record": parse_record(out + "\n" + err),
+    }
+    if cfg is None:
+        rec["output"] = (out + err).strip()[-800:]
+    if code != 0 or rec["record"] is None and cfg is not None:
+        rec["stderr_tail"] = err[-600:]
+    return rec
+
+
+def cmd_run(only):
+    done = load_results()
+    todo = [
+        s for s in STEPS
+        if (only in s[0] if only else True)
+        and not step_done(done.get(s[0]), s[1])
+    ]
+    if not todo:
+        print("nothing to do (see --list / --report)")
+        return 0
+    print(f"{len(todo)} step(s) to run -> {RESULTS}")
+    with open(RESULTS, "a") as f:
+        for name, cfg, env, _ in todo:
+            print(f"== {name} ({cfg or 'probe'}) env={env or '{}'} ...",
+                  flush=True)
+            rec = run_step(name, cfg, env)
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            r = rec.get("record")
+            if r:
+                print(f"   {r.get('value')} {r.get('unit')} "
+                      f"accuracy_ok={r.get('accuracy_ok')} "
+                      f"({rec['elapsed_s']}s)", flush=True)
+            else:
+                print(f"   exit={rec['exit_code']} ({rec['elapsed_s']}s) "
+                      f"{rec.get('output', '')[:200]}", flush=True)
+            if rec["exit_code"] == 3:
+                print("ABORT: backend unreachable (bench fail-fast); "
+                      "re-run when the tunnel is back — completed steps "
+                      "are skipped.", flush=True)
+                return 3
+    cmd_report()
+    return 0
+
+
+def cmd_list():
+    done = load_results()
+    for name, cfg, env, base in STEPS:
+        mark = "x" if step_done(done.get(name), cfg) else " "
+        print(f"[{mark}] {name:28s} {cfg or 'probe':14s} "
+              f"{json.dumps(env) if env else '':44s} vs {base or '-'}")
+
+
+def cmd_report():
+    done = load_results()
+    print(f"{'step':28s} {'pairs/s':>8s} {'base':>8s} {'delta':>7s}  flags")
+    for name, cfg, env, base in STEPS:
+        rec = (done.get(name) or {}).get("record")
+        if cfg is None:
+            out = (done.get(name) or {}).get("output")
+            if out:
+                print(f"{name:28s} {out.splitlines()[-1][:60]}")
+            continue
+        if not rec or "error" in rec:
+            continue
+        v = rec.get("value") or rec.get("measured_pairs_per_s") or 0.0
+        flags = "" if rec.get("accuracy_ok", True) else "ACCURACY-FAIL"
+        b = (done.get(base) or {}).get("record") if base else None
+        if b:
+            bv = b.get("value") or b.get("measured_pairs_per_s") or 0.0
+            d = f"{(v / bv - 1) * 100:+6.1f}%" if bv else "   n/a"
+            print(f"{name:28s} {v:8.1f} {bv:8.1f} {d:>7s}  {flags}")
+        else:
+            print(f"{name:28s} {v:8.1f} {'':>8s} {'':>7s}  {flags}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="substring filter on step names")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--report", action="store_true")
+    args = ap.parse_args()
+    if args.list:
+        cmd_list()
+    elif args.report:
+        cmd_report()
+    else:
+        raise SystemExit(cmd_run(args.only))
+
+
+if __name__ == "__main__":
+    main()
