@@ -137,7 +137,7 @@ def make_record(pairs_per_s, rre, rte, gate=(2.0, 0.3)):
     return record
 
 
-def run_config(name, cfg, emit_json):
+def run_config(name, cfg, emit_json, caps_overrides=()):
     import jax
     import jax.numpy as jnp
 
@@ -151,6 +151,16 @@ def run_config(name, cfg, emit_json):
     B = cfg.get("batch", 8)  # pairs per batched step
     model = get_model(cfg["model"])
     params, caps = model.params, model.caps
+    for ov in caps_overrides:
+        key, _, val = ov.partition("=")
+        cur = getattr(caps, key)  # raises on unknown field
+        caps = caps.replace(
+            **{key: val.lower() in ("1", "true") if isinstance(cur, bool)
+               else int(val)}
+        )
+    if caps_overrides:
+        print(f"# [{name}] caps overrides: {list(caps_overrides)}",
+              file=sys.stderr)
 
     t0 = time.time()
     if "sequence" in cfg:
@@ -316,14 +326,22 @@ def main():
         "--config", default="office", choices=[*CONFIGS, "all"],
         help="coverage configuration (default: the headline office config)",
     )
+    ap.add_argument(
+        "--caps-set", action="append", default=[], metavar="KEY=VALUE",
+        help="override a Capacities field of the selected preset (e.g. "
+             "--caps-set max_hypotheses=2048) — for on-chip capacity "
+             "A/Bs without source edits; the accuracy gate still applies",
+    )
     args = ap.parse_args()
     _probe_backend()
     if args.config == "all":
         for name, cfg in CONFIGS.items():
-            run_config(name, cfg, emit_json=(name == "office"))
+            run_config(name, cfg, emit_json=(name == "office"),
+                       caps_overrides=args.caps_set)
     else:
         run_config(args.config, CONFIGS[args.config],
-                   emit_json=(args.config == "office"))
+                   emit_json=(args.config == "office"),
+                   caps_overrides=args.caps_set)
 
 
 if __name__ == "__main__":

@@ -79,9 +79,21 @@ STEPS = [
      {"FCCF_SEED_COL_BLOCKED": "1"}, "base/structured"),
     ("colblock/office", "office",
      {"FCCF_SEED_COL_BLOCKED": "1"}, "base/office"),
+    # E5 capacity retunes (bench --caps-set; the accuracy gate still
+    # applies, and adopting an under-policy bound as a preset default
+    # requires pairing it with sweep-level escalation — see
+    # run_sweep(escalate_caps=...)).
+    ("tightcaps/office", "office", {}, "base/office",
+     ["--caps-set", "max_matches=2048", "--caps-set", "max_hypotheses=2048"]),
+    ("tightcaps/cross-season", "cross-season", {}, "base/cross-season",
+     ["--caps-set", "max_matches=2048", "--caps-set", "max_hypotheses=2560"]),
+    ("tightcaps/heritage", "heritage", {}, "base/heritage",
+     ["--caps-set", "max_voxels=9216"]),
     # Mosaic per-lane gather probe (ROADMAP item 7).
     ("probe/gather", None, {}, None),
 ]
+# normalize: optional 5th element = extra bench CLI args
+STEPS = [s if len(s) == 5 else (*s, []) for s in STEPS]
 
 
 def load_results(path=RESULTS):
@@ -122,11 +134,11 @@ def parse_record(text):
     return None
 
 
-def run_step(name, cfg, env):
+def run_step(name, cfg, env, extra_args=()):
     if cfg is None:  # probe step: record raw output
         cmd = [sys.executable, "-u", os.path.join("tools", "probe_gather.py")]
     else:
-        cmd = [sys.executable, "-u", "bench.py", "--config", cfg]
+        cmd = [sys.executable, "-u", "bench.py", "--config", cfg, *extra_args]
     t0 = time.time()
     try:
         p = subprocess.run(
@@ -144,6 +156,7 @@ def run_step(name, cfg, env):
         "step": name,
         "config": cfg,
         "env": env,
+        "args": list(extra_args),
         "exit_code": code,
         "elapsed_s": round(time.time() - t0, 1),
         "record": parse_record(out + "\n" + err),
@@ -167,10 +180,10 @@ def cmd_run(only):
         return 0
     print(f"{len(todo)} step(s) to run -> {RESULTS}")
     with open(RESULTS, "a") as f:
-        for name, cfg, env, _ in todo:
-            print(f"== {name} ({cfg or 'probe'}) env={env or '{}'} ...",
-                  flush=True)
-            rec = run_step(name, cfg, env)
+        for name, cfg, env, _, extra in todo:
+            print(f"== {name} ({cfg or 'probe'}) env={env or '{}'} "
+                  f"{' '.join(extra)} ...", flush=True)
+            rec = run_step(name, cfg, env, extra)
             f.write(json.dumps(rec) + "\n")
             f.flush()
             r = rec.get("record")
@@ -192,16 +205,17 @@ def cmd_run(only):
 
 def cmd_list():
     done = load_results()
-    for name, cfg, env, base in STEPS:
+    for name, cfg, env, base, extra in STEPS:
         mark = "x" if step_done(done.get(name), cfg) else " "
+        knobs = json.dumps(env) if env else " ".join(extra)
         print(f"[{mark}] {name:28s} {cfg or 'probe':14s} "
-              f"{json.dumps(env) if env else '':44s} vs {base or '-'}")
+              f"{knobs:44s} vs {base or '-'}")
 
 
 def cmd_report():
     done = load_results()
     print(f"{'step':28s} {'pairs/s':>8s} {'base':>8s} {'delta':>7s}  flags")
-    for name, cfg, env, base in STEPS:
+    for name, cfg, env, base, extra in STEPS:
         rec = (done.get(name) or {}).get("record")
         if cfg is None:
             out = (done.get(name) or {}).get("output")
