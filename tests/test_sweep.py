@@ -218,6 +218,55 @@ def test_sweep_capacity_escalation(params, caps, tmp_path):
     assert by_pair2[1].get("escalated") is True
 
 
+@pytest.mark.slow
+def test_sweep_escalation_sharded(params, caps):
+    """Escalation composes with mesh sharding: the escalation pass reuses
+    the sweep's device mesh at the larger caps, and its results match the
+    same sharded compile run at full caps directly."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mk = lambda seed, ppp, cl: synthetic.make_pair(
+        seed=seed, points_per_plane=ppp, clutter_points=cl,
+        room=(8.0, 6.0, 3.0),
+    )
+    gen = [mk(30, 400, 200), mk(31, 400, 200)] + [
+        mk(32 + i, 700, 350) for i in range(6)
+    ]
+    pairs = [(g[0], g[1]) for g in gen]
+    gt = [np.asarray(g[2]) for g in gen]
+    sizes = [max(len(s), len(t)) for s, t in pairs]
+    thr = (max(sizes[:2]) + min(sizes[2:])) // 2
+    assert max(sizes[:2]) < thr < min(sizes[2:])
+    tight = caps.replace(max_raw_points=thr)
+
+    records, summary = run_sweep(
+        pairs, params, tight, batch_size=8, ground_truth=gt,
+        use_mesh=True, escalate_caps=caps,
+    )
+    assert summary["sharded"] and summary["n_escalated"] == 6
+    by_pair = {r["pair"]: r for r in records}
+    full, _ = run_sweep(
+        pairs, params, caps, batch_size=8, ground_truth=gt, use_mesh=True,
+    )
+    for r in full:
+        if r["pair"] < 2:
+            continue
+        esc = by_pair[r["pair"]]
+        # the escalated record IS the full-caps record: same status (a
+        # scene can legitimately still flag a bit at the larger caps —
+        # that status is final), same preprocess outcome, same transform
+        assert esc["escalated"] is True
+        assert esc["status"] == r["status"]
+        assert esc["preprocess_overflow"] == r["preprocess_overflow"]
+        np.testing.assert_allclose(
+            np.asarray(esc["transform"]), np.asarray(r["transform"]),
+            atol=1e-6,
+        )
+        assert esc["rre_deg"] < 1.0 and esc["rte_m"] < 0.25
+
+
 def test_sweep_sharded_over_mesh(params, caps, sweep_pairs):
     """Data-parallel sweep over the 8-virtual-device CPU mesh."""
     import jax
