@@ -1,0 +1,105 @@
+"""A/B runner (tools/tpu_ab.py): record parsing, step-done logic, and the
+full run loop driven against a fake bench — so the first real invocation
+during a scarce on-chip session cannot be its first execution ever."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tools.tpu_ab import parse_record, step_done  # noqa: E402
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+FAKE_BENCH = """\
+import argparse, json, os, sys
+ap = argparse.ArgumentParser()
+ap.add_argument("--config")
+ap.add_argument("--caps-set", action="append", default=[])
+a = ap.parse_args()
+if os.environ.get("FAKE_DOWN"):
+    print(json.dumps({"metric": "m", "value": 0.0, "unit": "pairs/s",
+                      "vs_baseline": 0.0, "error": "backend unreachable"}))
+    raise SystemExit(3)
+v = 100.0 + 10.0 * bool(os.environ.get("FCCF_SEED_COL_BLOCKED")) \
+    - 5.0 * len(a.caps_set)
+rec = {"metric": "m", "value": v, "unit": "pairs/s", "vs_baseline": v / 15.2,
+       "accuracy_ok": True}
+if a.config == "office":
+    print(json.dumps(rec))
+else:
+    print(f"# [{a.config}] {json.dumps(rec)}", file=sys.stderr)
+"""
+
+
+def test_parse_record_formats():
+    rec = {"metric": "m", "value": 1.0}
+    line = json.dumps(rec)
+    assert parse_record(line) == rec                       # bare stdout
+    assert parse_record(f"# [heritage] {line}") == rec     # stderr prefix
+    assert parse_record("noise\n" + line + "\ntrailing") == rec
+    assert parse_record("no record here") is None
+
+
+def test_step_done_logic():
+    good = {"exit_code": 0, "record": {"metric": "m", "value": 50.0}}
+    infra = {"exit_code": 3, "record": {"metric": "m", "error": "down"}}
+    assert step_done(good, "office")
+    assert not step_done(infra, "office")      # infra failure: retry
+    assert not step_done(None, "office")
+    assert not step_done({"exit_code": 0, "record": None}, "office")
+    assert step_done({"exit_code": 0}, None)   # probe: any clean run
+    assert not step_done({"exit_code": 1}, None)
+
+
+@pytest.mark.slow
+def test_runner_loop_against_fake_bench(tmp_path):
+    """End-to-end: run a filtered step set against a fake bench, check the
+    JSONL, the resume skip, the env/args plumbing, and the abort path."""
+    fake = tmp_path / "fake_bench.py"
+    fake.write_text(FAKE_BENCH)
+    results = tmp_path / "results.jsonl"
+    env = {
+        **os.environ,
+        "FCCF_TPU_AB_RESULTS": str(results),
+        "FCCF_TPU_AB_BENCH": str(fake),
+    }
+
+    def runner(*args, extra_env=None):
+        return subprocess.run(
+            [sys.executable, os.path.join("tools", "tpu_ab.py"), *args],
+            cwd=REPO, env={**env, **(extra_env or {})},
+            capture_output=True, text=True, timeout=120,
+        )
+
+    # abort path: fake backend down -> exit 3, step not recorded as done
+    p = runner("--only", "base/office", extra_env={"FAKE_DOWN": "1"})
+    assert p.returncode == 3, p.stdout + p.stderr
+    assert "ABORT" in p.stdout
+
+    # healthy: baseline + colblock + tightcaps office steps
+    p = runner("--only", "office")
+    assert p.returncode == 0, p.stdout + p.stderr
+    recs = {}
+    for line in results.read_text().splitlines():
+        r = json.loads(line)
+        recs[r["step"]] = r  # last record wins (abort retry included)
+    assert recs["base/office"]["record"]["value"] == 100.0
+    # env knob reached the subprocess
+    assert recs["colblock/office"]["record"]["value"] == 110.0
+    # --caps-set args reached the subprocess (two overrides -> -10)
+    assert recs["tightcaps/office"]["record"]["value"] == 90.0
+    assert recs["tightcaps/office"]["args"] == [
+        "--caps-set", "max_matches=2048", "--caps-set", "max_hypotheses=2048",
+    ]
+    # report shows the delta vs the in-session baseline
+    p = runner("--report")
+    assert "+10.0%" in p.stdout and "-10.0%" in p.stdout, p.stdout
+
+    # resume: everything already measured -> nothing to do
+    p = runner("--only", "office")
+    assert "nothing to do" in p.stdout

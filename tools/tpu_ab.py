@@ -33,7 +33,12 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-RESULTS = os.path.join(ROOT, "tpu_ab_results.jsonl")
+# Both overridable for the integration test (tests/test_tpu_ab.py), which
+# drives the whole runner loop against a fake bench script.
+RESULTS = os.environ.get(
+    "FCCF_TPU_AB_RESULTS", os.path.join(ROOT, "tpu_ab_results.jsonl")
+)
+BENCH = os.environ.get("FCCF_TPU_AB_BENCH", "bench.py")
 STEP_TIMEOUT_S = 1500
 
 # (name, bench config | None, env overrides, baseline step | None).
@@ -138,7 +143,7 @@ def run_step(name, cfg, env, extra_args=()):
     if cfg is None:  # probe step: record raw output
         cmd = [sys.executable, "-u", os.path.join("tools", "probe_gather.py")]
     else:
-        cmd = [sys.executable, "-u", "bench.py", "--config", cfg, *extra_args]
+        cmd = [sys.executable, "-u", BENCH, "--config", cfg, *extra_args]
     t0 = time.time()
     try:
         p = subprocess.run(
