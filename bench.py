@@ -154,10 +154,17 @@ def run_config(name, cfg, emit_json, caps_overrides=()):
     for ov in caps_overrides:
         key, _, val = ov.partition("=")
         cur = getattr(caps, key)  # raises on unknown field
-        caps = caps.replace(
-            **{key: val.lower() in ("1", "true") if isinstance(cur, bool)
-               else int(val)}
-        )
+        if isinstance(cur, bool):
+            v = val.strip().lower()
+            if v in ("1", "true", "yes", "on"):
+                new = True
+            elif v in ("0", "false", "no", "off"):
+                new = False
+            else:  # a typo must not silently benchmark the opposite config
+                raise ValueError(f"--caps-set {key}: not a boolean: {val!r}")
+        else:
+            new = int(val)
+        caps = caps.replace(**{key: new})
     if caps_overrides:
         print(f"# [{name}] caps overrides: {list(caps_overrides)}",
               file=sys.stderr)

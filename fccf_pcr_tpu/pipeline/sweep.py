@@ -21,10 +21,24 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .register import (
+    STATUS_FINE_OVERFLOW,
+    STATUS_HYPOTHESIS_OVERFLOW,
+    STATUS_REP_OVERFLOW,
+    STATUS_RESIDUAL_OVERFLOW,
+    STATUS_VOXEL_OVERFLOW,
+)
+
 # Status bits a larger-capacity recompile can actually clear (pipeline
 # truncation, not geometry): everything except DEGENERATE (no type scored)
 # and FINE_ALIAS (source-residual extent, independent of any capacity).
-ESCALATION_STATUS_MASK = 1 | 2 | 8 | 16 | 32  # VOXEL|HYP|REP|RESIDUAL|FINE
+ESCALATION_STATUS_MASK = (
+    STATUS_VOXEL_OVERFLOW
+    | STATUS_HYPOTHESIS_OVERFLOW
+    | STATUS_REP_OVERFLOW
+    | STATUS_RESIDUAL_OVERFLOW
+    | STATUS_FINE_OVERFLOW
+)
 
 
 def needs_escalation(record: dict) -> bool:
@@ -75,10 +89,30 @@ def run_sweep(
     tests/test_overflow.py forces each one). Escalated records replace the
     tight ones (keeping the tight status in ``status_tight``) and are
     re-appended to the JSONL, where resume's last-record-wins load order
-    picks them up. Escalation wall-clock counts toward the throughput
-    summary (same first-batch-is-compile exclusion as the main pass).
+    picks them up. The throughput summary counts each pair once (its tight
+    run); escalation wall-clock adds to the measured time under the same
+    first-batch-is-compile exclusion, so a single-chunk escalation (the
+    expected rare-flagged-pair case) does not perturb the number.
     """
+    import dataclasses
     import os
+
+    if escalate_caps is not None:
+        # Escalation must not shrink any bound: a SMALLER "escalation"
+        # would truncate harder and replace good records with degraded
+        # ones marked final.
+        for f in dataclasses.fields(caps):
+            if f.name == "max_raw_points":
+                # 0 is a sentinel for "= max_points": compare effectives
+                lo, hi = caps.raw_points, escalate_caps.raw_points
+            else:
+                lo = getattr(caps, f.name)
+                hi = getattr(escalate_caps, f.name)
+            if (hi < lo) if not isinstance(lo, bool) else (lo and not hi):
+                raise ValueError(
+                    f"escalate_caps.{f.name}={hi} is below the tight "
+                    f"caps' {lo}; escalation capacities must dominate"
+                )
 
     done: dict[int, dict] = {}
     if resume and out_path and os.path.exists(out_path):
@@ -207,7 +241,11 @@ def run_sweep(
         flagged = sorted(
             i
             for i, rec in by_pair.items()
-            if needs_escalation(rec) and not rec.get("escalated")
+            # a resumed out file can reference pairs beyond this
+            # invocation's list — those can't be re-run here
+            if i < len(pairs)
+            and needs_escalation(rec)
+            and not rec.get("escalated")
         )
         n_escalated = len(flagged)
         tight = {i: by_pair[i]["status"] for i in flagged}
@@ -220,7 +258,11 @@ def run_sweep(
     summary = {
         "n_pairs": len(pairs),
         "n_resumed": len(done),
-        "pairs_per_sec": (n_done / total_time) if total_time > 0 else None,
+        # None (not 0.0) when nothing was timed past a compile chunk —
+        # e.g. a resumed run that only escalates (n_done stays 0)
+        "pairs_per_sec": (
+            (n_done / total_time) if n_done > 0 and total_time > 0 else None
+        ),
         "n_devices": len(devices),
         "sharded": mesh is not None,
     }

@@ -147,6 +147,22 @@ def test_needs_escalation_classifies_status_bits():
     assert needs_escalation({"status": 0, "preprocess_overflow": True})
 
 
+def test_escalate_caps_must_dominate(params, caps):
+    """A smaller 'escalation' preset would replace good records with
+    harder-truncated ones marked final — rejected before any compile."""
+    with pytest.raises(ValueError, match="must dominate"):
+        run_sweep(
+            [], params, caps,
+            escalate_caps=caps.replace(max_hypotheses=caps.max_hypotheses // 2),
+        )
+    # max_raw_points=0 is a sentinel for "= max_points": effective values
+    # are compared, so a default-sentinel escalation over an explicit
+    # smaller raw bound passes
+    tight = caps.replace(max_raw_points=caps.max_points // 2)
+    records, summary = run_sweep([], params, tight, escalate_caps=caps)
+    assert records == [] and summary["n_escalated"] == 0
+
+
 def test_sweep_capacity_escalation(params, caps, tmp_path):
     """Dual-capacity sweep: tight caps sized under the big pairs' raw size
     force a deterministic preprocess truncation; escalation must re-run

@@ -162,6 +162,7 @@ def run_step(name, cfg, env, extra_args=()):
         "config": cfg,
         "env": env,
         "args": list(extra_args),
+        "ts": round(t0, 1),
         "exit_code": code,
         "elapsed_s": round(time.time() - t0, 1),
         "record": parse_record(out + "\n" + err),
@@ -231,8 +232,15 @@ def cmd_report():
             continue
         v = rec.get("value") or rec.get("measured_pairs_per_s") or 0.0
         flags = "" if rec.get("accuracy_ok", True) else "ACCURACY-FAIL"
-        b = (done.get(base) or {}).get("record") if base else None
+        entry = done.get(name) or {}
+        b_entry = done.get(base) if base else None
+        b = (b_entry or {}).get("record")
         if b:
+            # tunnel conditions drift across sessions (~> the ±2% noise
+            # band): a delta against a baseline measured much earlier is
+            # not an adoption-grade A/B
+            if abs(entry.get("ts", 0) - b_entry.get("ts", 0)) > 3600:
+                flags = (flags + " STALE-BASE").strip()
             bv = b.get("value") or b.get("measured_pairs_per_s") or 0.0
             d = f"{(v / bv - 1) * 100:+6.1f}%" if bv else "   n/a"
             print(f"{name:28s} {v:8.1f} {bv:8.1f} {d:>7s}  {flags}")
