@@ -64,8 +64,12 @@ def main(argv=None):
     # pick per dataset.
     from .models.fccf import REGISTRY as _REG
     ap.add_argument("--caps", default="default",
-                    choices=["tiny", "default", "large",
-                             *(k for k in _REG if k != "tiny")])
+                    choices=["tiny", "default", "large", "auto",
+                             *(k for k in _REG if k != "tiny")],
+                    help="capacity preset; 'auto' sizes the bounds from "
+                         "the loaded scans themselves (models/auto.py) "
+                         "and pairs with an escalation envelope, so new "
+                         "datasets need no manual capacity tuning")
     ap.add_argument("--device", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--batch", nargs="+", default=None, metavar="PLY",
                     help="register consecutive pairs of this scan list")
@@ -79,10 +83,11 @@ def main(argv=None):
                          "(checkpoint/resume on restart)")
     ap.add_argument("--escalate-caps", default=None, metavar="PRESET",
                     choices=["default", "large", *(k for k in _REG if k != "tiny")],
-                    help="with --batch + --out: re-run any pair whose status "
-                         "shows a capacity hit under this larger preset "
-                         "(content-adaptive dual-capacity execution; lets "
-                         "--caps stay tight for the common case)")
+                    help="re-run any pair whose status shows a capacity hit "
+                         "under this larger preset (content-adaptive "
+                         "dual-capacity execution; lets --caps stay tight "
+                         "for the common case; --caps auto derives its own "
+                         "escalation envelope when this is not given)")
     ap.add_argument("--native-io", action="store_true",
                     help="load the scan list with the threaded C++ batch "
                          "loader (csrc/, falls back to python)")
@@ -133,7 +138,28 @@ def main(argv=None):
         else:
             coerced = field_type(val)
         params = params.replace(**{key: coerced})
-    caps = _caps_preset(args.caps)
+    # "auto" sizes capacities from the loaded clouds themselves; resolved
+    # after loading (below). _resolve_caps also derives auto's escalation
+    # envelope when --escalate-caps was not given.
+    caps = None if args.caps == "auto" else _caps_preset(args.caps)
+    escalate_caps = (
+        _caps_preset(args.escalate_caps) if args.escalate_caps else None
+    )
+
+    def _resolve_caps(caps, escalate_caps, clouds):
+        if caps is None:
+            from .models.auto import auto_caps, auto_escalation_caps
+
+            caps = auto_caps(clouds, params)
+            if escalate_caps is None:
+                escalate_caps = auto_escalation_caps(caps)
+            print(
+                f"# auto caps: points={caps.max_points} "
+                f"raw={caps.raw_points} voxels={caps.max_voxels} "
+                f"residual={caps.max_residual} fine={caps.max_fine_voxels} "
+                f"wide_extent={caps.wide_extent}", file=sys.stderr,
+            )
+        return caps, escalate_caps
 
     if not args.json:
         print(f"Leaf size : {args.voxel:g}")
@@ -148,14 +174,12 @@ def main(argv=None):
         from .pipeline.sweep import run_sweep
 
         clouds = [read_cloud(p) for p in scans]
+        caps, escalate_caps = _resolve_caps(caps, escalate_caps, clouds)
         pairs = [(clouds[i], clouds[i + 1]) for i in range(len(clouds) - 1)]
         records, summary = run_sweep(
             pairs, params, caps, batch_size=min(8, len(pairs)),
             out_path=args.out,
-            escalate_caps=(
-                _caps_preset(args.escalate_caps)
-                if args.escalate_caps else None
-            ),
+            escalate_caps=escalate_caps,
         )
         print(json.dumps({"summary": summary, "out": args.out}))
         return 0
@@ -164,7 +188,9 @@ def main(argv=None):
     if args.native_io:
         from .io.native import native_read_ply_batch
 
-        loaded = native_read_ply_batch(scans, caps.raw_points)
+        # auto caps are not known before loading: read at a generous bound
+        raw_cap = caps.raw_points if caps is not None else 1 << 20
+        loaded = native_read_ply_batch(scans, raw_cap)
     else:
         loaded = None
     if loaded is not None:
@@ -175,42 +201,61 @@ def main(argv=None):
 
         clouds = [read_cloud(p) for p in scans]
     t_load = time.time() - t_load0
+    caps, escalate_caps = _resolve_caps(caps, escalate_caps, clouds)
 
     # First (CLI-level) downsample, mirroring main() (:1668-1678); the
     # pipeline performs the second, internal downsample itself. Raw clouds
     # load at caps.raw_points and compact to the hot pipeline's max_points;
     # truncation at either capacity is surfaced, never silent.
-    pre = jax.jit(lambda p, m: pre_downsample(p, m, params, caps))
-    padded = []
-    pre_overflow = []
-    for k, c in enumerate(clouds):
-        if len(c) > caps.raw_points:
-            print(f"# WARNING: scan {scans[k]} has {len(c)} points; "
-                  f"subsampled to raw capacity {caps.raw_points} "
-                  "(use --caps large)", file=sys.stderr)
-            pre_overflow.append(k)
-        p, m = pad_points(c, caps.raw_points)
-        pd, md, ovf = pre(jnp.asarray(p), jnp.asarray(m))
-        if bool(ovf) and k not in pre_overflow:
-            print(f"# WARNING: scan {scans[k]} overflows max_points="
-                  f"{caps.max_points} after downsampling; truncated "
-                  "(use --caps large)", file=sys.stderr)
-            pre_overflow.append(k)
-        padded.append((pd, md))
+    def run_at(stage_caps):
+        pre = jax.jit(lambda p, m: pre_downsample(p, m, params, stage_caps))
+        padded = []
+        pre_overflow = []
+        for k, c in enumerate(clouds):
+            if len(c) > stage_caps.raw_points:
+                print(f"# WARNING: scan {scans[k]} has {len(c)} points; "
+                      f"subsampled to raw capacity {stage_caps.raw_points} "
+                      "(use --caps large)", file=sys.stderr)
+                pre_overflow.append(k)
+            p, m = pad_points(c, stage_caps.raw_points)
+            pd, md, ovf = pre(jnp.asarray(p), jnp.asarray(m))
+            if bool(ovf) and k not in pre_overflow:
+                print(f"# WARNING: scan {scans[k]} overflows max_points="
+                      f"{stage_caps.max_points} after downsampling; "
+                      "truncated (use --caps large)", file=sys.stderr)
+                pre_overflow.append(k)
+            padded.append((pd, md))
 
-    fn = make_register_fn(params, caps, batched=args.batch is not None)
+        fn = make_register_fn(
+            params, stage_caps, batched=args.batch is not None
+        )
 
-    t0 = time.time()
-    if args.batch:
-        sp = jnp.stack([padded[i][0] for i in range(len(padded) - 1)])
-        sm = jnp.stack([padded[i][1] for i in range(len(padded) - 1)])
-        tp = jnp.stack([padded[i + 1][0] for i in range(len(padded) - 1)])
-        tm = jnp.stack([padded[i + 1][1] for i in range(len(padded) - 1)])
-        res = fn(sp, sm, tp, tm)
-    else:
-        res = fn(padded[0][0], padded[0][1], padded[1][0], padded[1][1])
-    jax.block_until_ready(res)
-    t_reg = time.time() - t0
+        t0 = time.time()
+        if args.batch:
+            sp = jnp.stack([padded[i][0] for i in range(len(padded) - 1)])
+            sm = jnp.stack([padded[i][1] for i in range(len(padded) - 1)])
+            tp = jnp.stack([padded[i + 1][0] for i in range(len(padded) - 1)])
+            tm = jnp.stack([padded[i + 1][1] for i in range(len(padded) - 1)])
+            res = fn(sp, sm, tp, tm)
+        else:
+            res = fn(padded[0][0], padded[0][1], padded[1][0], padded[1][1])
+        jax.block_until_ready(res)
+        return res, pre_overflow, time.time() - t0
+
+    res, pre_overflow, t_reg = run_at(caps)
+
+    escalated = False
+    if escalate_caps is not None:
+        from .pipeline.sweep import ESCALATION_STATUS_MASK
+
+        if pre_overflow or bool(
+            np.any(np.asarray(res.status) & ESCALATION_STATUS_MASK)
+        ):
+            print("# capacity hit at the tight caps; re-running at the "
+                  "escalation preset", file=sys.stderr)
+            res, pre_overflow, t_esc = run_at(escalate_caps)
+            t_reg += t_esc
+            escalated = True
 
     T = np.asarray(res.transform)
     if args.json:
@@ -225,6 +270,7 @@ def main(argv=None):
             "n_hypotheses": np.asarray(res.n_hypotheses).tolist(),
             "status": np.asarray(res.status).tolist(),
             "preprocess_overflow": pre_overflow,
+            "escalated": escalated,
             "time_load_s": t_load,
             "time_register_s": t_reg,
         }
