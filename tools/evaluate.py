@@ -17,13 +17,15 @@ import time
 import numpy as np
 
 
-def evaluate_config(name, cfg, seeds, batch, rotation_gate=None):
+def evaluate_config(name, cfg, seeds, batch, rotation_gate=None,
+                    escalate_caps=None):
     import jax
 
     from fccf_pcr_tpu import make_register_fn, registration_errors
     from fccf_pcr_tpu.io import synthetic
     from fccf_pcr_tpu.models.fccf import get_model
     from fccf_pcr_tpu.pipeline.register import pre_downsample
+    from fccf_pcr_tpu.pipeline.sweep import ESCALATION_STATUS_MASK
 
     if "sequence" in cfg:
         raise ValueError(
@@ -36,43 +38,88 @@ def evaluate_config(name, cfg, seeds, batch, rotation_gate=None):
     params, caps = model.params, model.caps
     if rotation_gate is not None:
         params = params.replace(fuse_rotation_gate_deg=rotation_gate)
-    fn = make_register_fn(params, caps, batched=True)
-    pre = jax.jit(jax.vmap(lambda p, m: pre_downsample(p, m, params, caps)))
 
-    rres, rtes, statuses = [], [], []
+    def run_seed_batches(seed_lists, stage_caps, timed):
+        """Run batches of seeds at one capacity config; yields
+        (seed, rre, rte, status) rows. ``timed`` accumulates throughput
+        (first batch pays the compile, as in bench.py)."""
+        nonlocal t_total, n_timed
+        fn = make_register_fn(params, stage_caps, batched=True)
+        pre = jax.jit(jax.vmap(
+            lambda p, m: pre_downsample(p, m, params, stage_caps)
+        ))
+        for bi, ss in enumerate(seed_lists):
+            ss_eff = list(ss) + [ss[-1]] * (batch - len(ss))
+            pairs = bench.pairs_for_config(cfg, ss_eff)
+            sp = np.stack([synthetic.pad_points(p[0], stage_caps.raw_points)[0] for p in pairs])
+            sm = np.stack([synthetic.pad_points(p[0], stage_caps.raw_points)[1] for p in pairs])
+            tp = np.stack([synthetic.pad_points(p[1], stage_caps.raw_points)[0] for p in pairs])
+            tm = np.stack([synthetic.pad_points(p[1], stage_caps.raw_points)[1] for p in pairs])
+            spd, smd, s_ovf = pre(sp, sm)
+            tpd, tmd, t_ovf = pre(tp, tm)
+            # raw-capacity truncation happens host-side in pad_points and
+            # is invisible to pre_downsample's flag — check it here (the
+            # sweep driver does the same, pipeline/sweep.py)
+            raw_ovf = np.array([
+                len(p[0]) > stage_caps.raw_points
+                or len(p[1]) > stage_caps.raw_points
+                for p in pairs
+            ])
+            pre_ovf = raw_ovf | np.asarray(s_ovf) | np.asarray(t_ovf)
+            # Pin inputs on device and drain the async queue BEFORE the
+            # clock starts, so the timed region measures the registration
+            # step alone (same discipline as bench.py); without this the
+            # pre_downsample dispatch and host->device transfers leak in.
+            jax.block_until_ready((spd, smd, tpd, tmd))
+            t0 = time.time()
+            res = fn(spd, smd, tpd, tmd)
+            jax.block_until_ready(res)
+            dt = time.time() - t0
+            if timed and bi > 0:  # first batch pays the compile
+                t_total += dt
+                n_timed += len(ss)
+            T_gt = np.stack([p[2] for p in pairs])
+            rre, rte = registration_errors(
+                res.transform, T_gt.astype(np.float32)
+            )
+            st = np.asarray(res.status).copy()
+            # preprocess truncation counts as a flagged pair (bit 1)
+            st = np.where(pre_ovf, st | 1, st)
+            for k, s in enumerate(ss):
+                yield (s, float(np.asarray(rre)[k]),
+                       float(np.asarray(rte)[k]), int(st[k]))
+
     t_total, n_timed = 0.0, 0
-    for b0 in range(0, seeds, batch):
-        ss = list(range(b0, min(b0 + batch, seeds)))
-        ss_eff = ss + [ss[-1]] * (batch - len(ss))
-        pairs = bench.pairs_for_config(cfg, ss_eff)
-        sp = np.stack([synthetic.pad_points(p[0], caps.raw_points)[0] for p in pairs])
-        sm = np.stack([synthetic.pad_points(p[0], caps.raw_points)[1] for p in pairs])
-        tp = np.stack([synthetic.pad_points(p[1], caps.raw_points)[0] for p in pairs])
-        tm = np.stack([synthetic.pad_points(p[1], caps.raw_points)[1] for p in pairs])
-        spd, smd, s_ovf = pre(sp, sm)
-        tpd, tmd, t_ovf = pre(tp, tm)
-        n_pre_ovf = int(np.asarray(s_ovf).sum() + np.asarray(t_ovf).sum())
-        # Pin inputs on device and drain the async queue BEFORE the clock
-        # starts, so the timed region measures the registration step alone
-        # (same discipline as bench.py); without this the pre_downsample
-        # dispatch and host->device transfers leak into the number.
-        jax.block_until_ready((spd, smd, tpd, tmd))
-        t0 = time.time()
-        res = fn(spd, smd, tpd, tmd)
-        jax.block_until_ready(res)
-        dt = time.time() - t0
-        if b0 > 0:  # first batch pays the compile
-            t_total += dt
-            n_timed += len(ss)
-        T_gt = np.stack([p[2] for p in pairs])
-        rre, rte = registration_errors(res.transform, T_gt.astype(np.float32))
-        rres.extend(np.asarray(rre)[: len(ss)].tolist())
-        rtes.extend(np.asarray(rte)[: len(ss)].tolist())
-        # preprocess truncation counts as a flagged pair, like status bits
-        st = np.asarray(res.status)[: len(ss)].copy()
-        if n_pre_ovf:
-            st = st | 1
-        statuses.extend(st.tolist())
+    rows = {}
+    seed_lists = [
+        list(range(b0, min(b0 + batch, seeds)))
+        for b0 in range(0, seeds, batch)
+    ]
+    for s, rre, rte, st in run_seed_batches(seed_lists, caps, timed=True):
+        rows[s] = (rre, rte, st)
+
+    n_escalated = 0
+    if escalate_caps is not None:
+        # the mask already contains bit 1, which is also how preprocess
+        # truncation is folded into evaluate statuses above
+        flagged = sorted(
+            s for s, (_, _, st) in rows.items()
+            if st & ESCALATION_STATUS_MASK
+        )
+        if flagged:
+            n_escalated = len(flagged)
+            chunks = [
+                flagged[i:i + batch] for i in range(0, len(flagged), batch)
+            ]
+            # escalation replaces the flagged seeds' rows (final status)
+            for s, rre, rte, st in run_seed_batches(
+                chunks, escalate_caps, timed=False
+            ):
+                rows[s] = (rre, rte, st)
+
+    rres = [rows[s][0] for s in range(seeds)]
+    rtes = [rows[s][1] for s in range(seeds)]
+    statuses = [rows[s][2] for s in range(seeds)]
 
     rres, rtes = np.array(rres), np.array(rtes)
     ok = (rres < 2.0) & (rtes < 0.5)
@@ -94,6 +141,7 @@ def evaluate_config(name, cfg, seeds, batch, rotation_gate=None):
             int(i): int(statuses[i]) for i in np.flatnonzero(statuses)
         },
         "pairs_per_s": (n_timed / t_total) if t_total > 0 else None,
+        "n_escalated": n_escalated,
     }
 
 
@@ -112,18 +160,31 @@ def main():
         help="override FCCFParams.fuse_rotation_gate_deg (degrees; "
         "0 = reference-faithful blind averaging)",
     )
+    ap.add_argument(
+        "--escalate-caps", default=None, metavar="PRESET",
+        help="re-run capacity-flagged seeds under this registry preset "
+        "or 'large' (content-adaptive dual-capacity evaluation — lets "
+        "presets run tight while keeping the sweep clean)",
+    )
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
+    esc = None
+    if args.escalate_caps:
+        from fccf_pcr_tpu.cli import _caps_preset
+
+        esc = _caps_preset(args.escalate_caps)
+
     rows = []
     for name in args.configs.split(","):
         cfg = bench.CONFIGS[name]
         batch = args.batch or cfg.get("batch", 8)
         r = evaluate_config(name, cfg, args.seeds, batch,
-                            rotation_gate=args.fuse_rotation_gate)
+                            rotation_gate=args.fuse_rotation_gate,
+                            escalate_caps=esc)
         print(f"# {r}", file=sys.stderr)
         rows.append(r)
 
