@@ -199,6 +199,14 @@ def run_config(name, cfg, emit_json, caps_overrides=()):
         # Stairs + Hauptgebaude in one vmap batch) alternate by seed.
         pairs = pairs_for_config(cfg, range(B))
     nb = len(pairs) // B  # batched steps per timed iteration (1 except sweep)
+    # pad_points subsamples host-side past raw capacity, invisibly to the
+    # pre_downsample overflow assert below — a benchmark must measure the
+    # configured workload, not a silent subsample of it
+    raw_max = max(max(len(p[0]), len(p[1])) for p in pairs)
+    assert raw_max <= caps.raw_points, (
+        f"[{name}] raw clouds reach {raw_max} points > preset "
+        f"max_raw_points={caps.raw_points}"
+    )
     sp = np.stack([synthetic.pad_points(p[0], caps.raw_points)[0] for p in pairs])
     sm = np.stack([synthetic.pad_points(p[0], caps.raw_points)[1] for p in pairs])
     tp = np.stack([synthetic.pad_points(p[1], caps.raw_points)[0] for p in pairs])
