@@ -17,6 +17,11 @@ _TRIED = False
 
 
 def _lib_path():
+    # installed (site-packages) layouts have no csrc/ sibling; FCCF_IO_LIB
+    # points at the built library explicitly there
+    env = os.environ.get("FCCF_IO_LIB")
+    if env:
+        return env
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     return os.path.join(here, "csrc", "build", "libfccf_io.so")
 
