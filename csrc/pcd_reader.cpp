@@ -21,33 +21,16 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <algorithm>
 #include <string>
 #include <vector>
 
+#include "io_util.h"
+
 namespace {
 
-bool read_line(FILE* f, std::string* line) {
-  line->clear();
-  int c;
-  while ((c = fgetc(f)) != EOF) {
-    if (c == '\n') return true;
-    if (c != '\r') line->push_back(static_cast<char>(c));
-  }
-  return !line->empty();
-}
-
-std::vector<std::string> split(const std::string& s) {
-  std::vector<std::string> out;
-  size_t i = 0;
-  while (i < s.size()) {
-    while (i < s.size() && (s[i] == ' ' || s[i] == '\t')) ++i;
-    size_t j = i;
-    while (j < s.size() && s[j] != ' ' && s[j] != '\t') ++j;
-    if (j > i) out.push_back(s.substr(i, j - i));
-    i = j;
-  }
-  return out;
-}
+using fccf_io::read_line;
+using fccf_io::split;
 
 // liblzf decompression (PCL binary_compressed payload).
 bool lzf_decompress(const uint8_t* src, size_t in_len, uint8_t* dst,
@@ -163,6 +146,7 @@ int fccf_pcd_read(const char* path, float** out_xyz, int64_t* out_n) {
     if (fields[i].name == "z") iz = (int)i;
   }
   if (ix < 0 || iy < 0 || iz < 0) { std::fclose(f); return 3; }
+  if (fccf_io::xyz_alloc_overflows(n)) { std::fclose(f); return 2; }
 
   float* out = (float*)std::malloc(sizeof(float) * 3 * (size_t)n);
   if (!out) { std::fclose(f); return 2; }
@@ -184,14 +168,23 @@ int fccf_pcd_read(const char* path, float** out_xyz, int64_t* out_n) {
       out[r * 3 + 2] = strtof(tok[col_z].c_str(), nullptr);
     }
   } else if (mode == "binary") {
-    std::vector<uint8_t> row(stride);
-    for (int64_t r = 0; r < n; ++r) {
-      if (std::fread(row.data(), 1, stride, f) != (size_t)stride) {
+    // chunked rows (65536/fread like the PLY reader) — one fread per
+    // point costs 10M libc calls on a production scan
+    const int64_t rows_per_chunk = 65536;
+    std::vector<uint8_t> buf((size_t)stride * rows_per_chunk);
+    int64_t done = 0;
+    while (done < n) {
+      int64_t chunk = std::min<int64_t>(rows_per_chunk, n - done);
+      if (std::fread(buf.data(), stride, chunk, f) != (size_t)chunk) {
         std::free(out); std::fclose(f); return 2;
       }
-      out[r * 3 + 0] = to_float(row.data() + offsets[ix], fields[ix].size, fields[ix].type);
-      out[r * 3 + 1] = to_float(row.data() + offsets[iy], fields[iy].size, fields[iy].type);
-      out[r * 3 + 2] = to_float(row.data() + offsets[iz], fields[iz].size, fields[iz].type);
+      for (int64_t r = 0; r < chunk; ++r) {
+        const uint8_t* row = buf.data() + (size_t)r * stride;
+        out[(done + r) * 3 + 0] = to_float(row + offsets[ix], fields[ix].size, fields[ix].type);
+        out[(done + r) * 3 + 1] = to_float(row + offsets[iy], fields[iy].size, fields[iy].type);
+        out[(done + r) * 3 + 2] = to_float(row + offsets[iz], fields[iz].size, fields[iz].type);
+      }
+      done += chunk;
     }
   } else if (mode == "binary_compressed") {
     uint32_t sizes[2];

@@ -20,7 +20,12 @@
 #include <string>
 #include <vector>
 
+#include "io_util.h"
+
 namespace {
+
+using fccf_io::read_line;
+using fccf_io::split;
 
 struct Property {
   std::string name;
@@ -49,29 +54,6 @@ int type_size(const std::string& t, char* kind) {
   return 0;
 }
 
-bool read_line(FILE* f, std::string* line) {
-  line->clear();
-  int c;
-  while ((c = fgetc(f)) != EOF) {
-    if (c == '\n') return true;
-    if (c != '\r') line->push_back(static_cast<char>(c));
-  }
-  return !line->empty();
-}
-
-std::vector<std::string> split(const std::string& s) {
-  std::vector<std::string> out;
-  size_t i = 0;
-  while (i < s.size()) {
-    while (i < s.size() && (s[i] == ' ' || s[i] == '\t')) i++;
-    size_t j = i;
-    while (j < s.size() && s[j] != ' ' && s[j] != '\t') j++;
-    if (j > i) out.push_back(s.substr(i, j - i));
-    i = j;
-  }
-  return out;
-}
-
 double decode(const unsigned char* p, const Property& pr) {
   switch (pr.kind) {
     case 'f': { float v; memcpy(&v, p, 4); return v; }
@@ -94,6 +76,8 @@ double decode(const unsigned char* p, const Property& pr) {
 extern "C" {
 
 int fccf_ply_read(const char* path, float** out_xyz, int64_t* out_n) {
+  *out_xyz = nullptr;  // defined on every failure path (same ABI as PCD)
+  *out_n = 0;
   FILE* f = fopen(path, "rb");
   if (!f) return 1;
   std::string line;
@@ -123,6 +107,11 @@ int fccf_ply_read(const char* path, float** out_xyz, int64_t* out_n) {
         p.size = type_size(tok[1], &p.kind);
         p.name = tok[2];
         if (p.size == 0) { fclose(f); return 2; }
+      } else {
+        // a truncated property line would otherwise add a zero-size
+        // column, silently shifting every later binary offset
+        fclose(f);
+        return 2;
       }
       elements.back().props.push_back(p);
     } else if (tok[0] == "end_header") {
@@ -148,6 +137,7 @@ int fccf_ply_read(const char* path, float** out_xyz, int64_t* out_n) {
     if (p.name == "z") iz = static_cast<int>(i);
   }
   if (ix < 0 || iy < 0 || iz < 0) { fclose(f); return 2; }
+  if (fccf_io::xyz_alloc_overflows(vertex->count)) { fclose(f); return 2; }
 
   float* out = static_cast<float*>(malloc(sizeof(float) * 3 * vertex->count));
   if (!out) { fclose(f); return 2; }
@@ -270,9 +260,20 @@ int fccf_ply_read_batch(const char** paths, int64_t n_files, int64_t capacity,
       if (m <= capacity) {
         memcpy(dst, xyz, sizeof(float) * 3 * m);
       } else {
-        // deterministic even subsample (linspace over [0, m-1])
+        // deterministic even subsample, BIT-IDENTICAL to the Python
+        // fallback's np.linspace(0, m-1, capacity).astype(int64)
+        // (synthetic.pad_points): numpy computes arange(k) * step in
+        // float64 and pins the last sample to the exact stop, so the
+        // same double arithmetic is used here — integer k*(m-1)/(cap-1)
+        // rounds differently on ~1% of (m, capacity) pairs, and the
+        // capacity==1 case would divide by zero.
+        const double step =
+            capacity > 1 ? static_cast<double>(m - 1) / (capacity - 1) : 0.0;
         for (int64_t k = 0; k < capacity; k++) {
-          int64_t src = (k * (m - 1)) / (capacity - 1);
+          // num==1 linspace is [start]=0; the endpoint pin applies num>1
+          int64_t src = (capacity > 1 && k == capacity - 1)
+                            ? (m - 1)
+                            : static_cast<int64_t>(k * step);
           memcpy(dst + k * 3, xyz + src * 3, sizeof(float) * 3);
         }
       }

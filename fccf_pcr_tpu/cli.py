@@ -185,17 +185,32 @@ def main(argv=None):
         return 0
 
     t_load0 = time.time()
+    load_truncated: list[int] = []
     if args.native_io:
         from .io.native import native_read_ply_batch
 
-        # auto caps are not known before loading: read at a generous bound
-        raw_cap = caps.raw_points if caps is not None else 1 << 20
+        # Load at the LARGEST capacity any stage may use (escalation needs
+        # the full cloud, and auto caps are unknown before loading).
+        if caps is None:
+            raw_cap = 1 << 20
+        else:
+            raw_cap = caps.raw_points
+            if escalate_caps is not None:
+                raw_cap = max(raw_cap, escalate_caps.raw_points)
         loaded = native_read_ply_batch(scans, raw_cap)
     else:
         loaded = None
     if loaded is not None:
-        pts_arr, mask_arr, _ = loaded
+        pts_arr, mask_arr, counts = loaded
         clouds = [pts_arr[i][mask_arr[i]] for i in range(len(scans))]
+        # the batch loader subsamples at raw_cap and reports the true
+        # size only via counts — truncation must be surfaced, not silent
+        for i, cnt in enumerate(np.asarray(counts)):
+            if cnt > raw_cap:
+                print(f"# WARNING: scan {scans[i]} has {int(cnt)} points; "
+                      f"subsampled at load to {raw_cap} (--caps large, or "
+                      "load without --native-io)", file=sys.stderr)
+                load_truncated.append(i)
     else:
         from .io.pcd import read_cloud
 
@@ -210,7 +225,7 @@ def main(argv=None):
     def run_at(stage_caps):
         pre = jax.jit(lambda p, m: pre_downsample(p, m, params, stage_caps))
         padded = []
-        pre_overflow = []
+        pre_overflow = list(load_truncated)  # native-load subsampling
         for k, c in enumerate(clouds):
             if len(c) > stage_caps.raw_points:
                 print(f"# WARNING: scan {scans[k]} has {len(c)} points; "
@@ -240,7 +255,7 @@ def main(argv=None):
         else:
             res = fn(padded[0][0], padded[0][1], padded[1][0], padded[1][1])
         jax.block_until_ready(res)
-        return res, pre_overflow, time.time() - t0
+        return res, sorted(set(pre_overflow)), time.time() - t0
 
     res, pre_overflow, t_reg = run_at(caps)
 

@@ -68,6 +68,54 @@ def test_not_a_ply(tmp_path):
         ply.read_ply(str(p), use_native=False)
 
 
+def test_native_batch_subsample_matches_pad_points(tmp_path):
+    """The C batch loader's overflow subsample must be BIT-IDENTICAL to
+    the Python fallback's np.linspace(0, m-1, cap).astype(int64)
+    (synthetic.pad_points), or results differ by whether libfccf_io.so
+    is built. Cases include prior integer-division mismatches (136/100)
+    and the capacity==1 division-by-zero."""
+    from fccf_pcr_tpu.io.native import native_read_ply_batch
+    from fccf_pcr_tpu.io.synthetic import pad_points
+
+    if load_library() is None:
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(3)
+    for m, cap in [(136, 100), (1000, 137), (5, 1), (7, 3), (8192, 8191)]:
+        pts = rng.normal(size=(m, 3)).astype(np.float32)
+        path = str(tmp_path / f"p{m}_{cap}.ply")
+        ply.write_ply(path, pts)
+        npts, nmask, ncnt = native_read_ply_batch([path], cap)
+        want, wmask = pad_points(pts, cap)
+        np.testing.assert_array_equal(npts[0], want, err_msg=f"{m}/{cap}")
+        np.testing.assert_array_equal(nmask[0], wmask)
+        assert int(ncnt[0]) == m  # true size reported even when subsampled
+
+
+def test_native_rejects_malformed_headers(tmp_path):
+    """Corrupt headers must fail into the Python fallback (None), never
+    parse into garbage: a truncated property line would shift every
+    binary column offset, and an absurd element count would wrap the
+    allocation size and overrun the heap."""
+    from fccf_pcr_tpu.io.native import native_read_ply_batch
+
+    if load_library() is None:
+        pytest.skip("native library not built")
+    bad = tmp_path / "bad.ply"
+    bad.write_text(
+        "ply\nformat binary_little_endian 1.0\nelement vertex 4\n"
+        "property float\nproperty float y\nproperty float z\nend_header\n"
+    )
+    assert native_read_ply_batch([str(bad)], 8) is None
+    huge = tmp_path / "huge.ply"
+    huge.write_text(
+        "ply\nformat binary_little_endian 1.0\n"
+        "element vertex 1537228672809129302\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n" + "\x00" * 120
+    )
+    assert native_read_ply_batch([str(huge)], 8) is None
+
+
 @pytest.mark.slow
 def test_cli_smoke(tmp_path):
     """Drive the CLI end-to-end on a tiny synthetic pair (CPU)."""
