@@ -64,7 +64,11 @@ def load_library():
             lib.fccf_pcd_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
             lib.fccf_pcd_free.restype = None
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale library (e.g. FCCF_IO_LIB pointing at a
+        # pre-batch-API build) missing a symbol must degrade to the
+        # Python fallback like any other load failure, per the module
+        # contract — not crash every reader.
         _LIB = None
     return _LIB
 

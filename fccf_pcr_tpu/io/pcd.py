@@ -38,14 +38,21 @@ def _parse_header(f):
         meta[key.upper()] = vals
         if key.upper() == "DATA":
             break
-    for req in ("FIELDS", "SIZE", "TYPE", "COUNT", "POINTS", "DATA"):
+    # COUNT is optional per the PCD spec (defaults to 1 per field; the
+    # native reader and read_pcd's meta.get fallback both assume that)
+    for req in ("FIELDS", "SIZE", "TYPE", "POINTS", "DATA"):
         if req not in meta:
             raise ValueError(f"PCD header missing {req}")
     return meta, f.tell()
 
 
 def _lzf_decompress(src: bytes, expected: int) -> bytes:
-    """liblzf decompression (PCL binary_compressed blobs)."""
+    """liblzf decompression (PCL binary_compressed blobs).
+
+    Every read is bounds-checked: a corrupt stream raises instead of
+    silently producing garbage (a negative back-reference would wrap via
+    Python negative indexing, and a short literal-run slice would SHRINK
+    the bytearray, shifting every later field offset)."""
     out = bytearray(expected)
     i, o, n = 0, 0, len(src)
     while i < n:
@@ -53,20 +60,30 @@ def _lzf_decompress(src: bytes, expected: int) -> bytes:
         i += 1
         if ctrl < 32:  # literal run of ctrl+1 bytes
             run = ctrl + 1
+            if i + run > n or o + run > expected:
+                raise ValueError("LZF: truncated literal run")
             out[o : o + run] = src[i : i + run]
             i += run
             o += run
         else:  # back reference
             length = ctrl >> 5
             if length == 7:
+                if i >= n:
+                    raise ValueError("LZF: truncated length byte")
                 length += src[i]
                 i += 1
             length += 2
+            if i >= n:
+                raise ValueError("LZF: truncated offset byte")
             ref = o - ((ctrl & 0x1F) << 8) - src[i] - 1
             i += 1
-            # overlapping copy must go byte-forward
-            for k in range(length):
-                out[o + k] = out[ref + k]
+            if ref < 0 or o + length > expected:
+                raise ValueError("LZF: back reference out of range")
+            if ref + length <= o:  # disjoint: one slice copy
+                out[o : o + length] = out[ref : ref + length]
+            else:  # overlapping copy must go byte-forward
+                for k in range(length):
+                    out[o + k] = out[ref + k]
             o += length
     if o != expected:
         raise ValueError(f"LZF: expected {expected} bytes, got {o}")
@@ -93,6 +110,12 @@ def read_pcd(path: str, use_native: bool = True) -> np.ndarray:
         for ax in ("x", "y", "z"):
             if ax not in fields:
                 raise ValueError(f"PCD file has no '{ax}' field")
+            if counts[fields.index(ax)] != 1:
+                # the native reader returns rc=3 for this layout; fail
+                # with the same unsupported-layout contract, not KeyError
+                raise ValueError(
+                    f"unsupported PCD layout: field '{ax}' has COUNT != 1"
+                )
 
         if mode == "ascii":
             cols, col = {}, 0

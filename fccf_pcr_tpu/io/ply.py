@@ -51,6 +51,8 @@ def _parse_header(f):
         elif tok[0] == "element":
             elements.append((tok[1], int(tok[2]), []))
         elif tok[0] == "property":
+            if not elements:
+                raise ValueError("PLY property before any element")
             if tok[1] == "list":
                 elements[-1][2].append((tok[-1], ("list", tok[2], tok[3])))
             else:
@@ -102,8 +104,6 @@ def _read_binary(f, elements, endian):
             if isinstance(ptype, tuple):  # list property
                 raise ValueError(
                     f"list property in element '{name}' before vertex data"
-                    if out is None
-                    else "ok"
                 )
             fields.append((pname, endian + _DTYPES[ptype][0]))
         dt = np.dtype(fields)

@@ -47,7 +47,19 @@ def make_room_scene(seed=0, points_per_plane=4000, clutter_points=2000,
                     room=(14.0, 10.0, 4.0), noise=0.005):
     """A room-like scene: floor, ceiling, 4 walls, 2 interior partitions,
     plus ellipsoidal clutter (exercises the curvature gate / residual
-    cloud). Returns (points (M,3) float32)."""
+    cloud). Returns (points (M,3) float32).
+
+    KNOWN GEOMETRY QUIRK (kept deliberately): make_plane without u_hint
+    picks its own in-plane axes, so each patch's (a, b) extents land on
+    rotated axes — e.g. the x-normal walls span `b` along y but `a`
+    along z, extending past the nominal box. The result is still a valid
+    multi-plane indoor scene with exact ground truth, and EVERY measured
+    artifact is calibrated to exactly this geometry: capacity presets
+    (models/fccf.py), golden fixtures (tests/golden/), the benchmark and
+    evaluation tables. Re-aligning the patches (passing u_hint, as the
+    stairs/hall generators do) would invalidate all of them for no
+    accuracy or coverage gain — do not "fix" this without re-measuring
+    everything on hardware."""
     rng = np.random.default_rng(seed)
     L, W, Hh = room
     planes = [
@@ -317,10 +329,16 @@ SCENES = {
 
 
 def random_se3(rng, max_angle_deg=40.0, max_trans=3.0):
-    """Random rigid transform with bounded rotation/translation."""
+    """Random rigid transform with bounded rotation/translation.
+
+    The rotation floor avoids near-identity degenerate pairs; when the
+    requested bound is itself small, the floor scales down so the bound
+    stays honored (numpy's uniform(low, high) silently SWAPS a reversed
+    range, which would sample rotations larger than requested)."""
     axis = rng.normal(size=3)
     axis /= np.linalg.norm(axis)
-    ang = np.deg2rad(rng.uniform(5.0, max_angle_deg))
+    lo = min(5.0, 0.5 * max_angle_deg)
+    ang = np.deg2rad(rng.uniform(lo, max_angle_deg))
     K = np.array(
         [
             [0, -axis[2], axis[1]],

@@ -41,11 +41,15 @@ def _palette(n, seed=0):
     return rng.integers(40, 255, (n, 3)).astype(np.uint8)
 
 
-def export_faces(path, points, point_face, n_faces=16, seed=0):
+def export_faces(path, points, point_face, n_faces=None, seed=0):
     """Color every point by its face id (== showPic's per-face random
-    colors). ``point_face`` < 0 marks unassigned points (dark gray)."""
+    colors). ``point_face`` < 0 marks unassigned points (dark gray).
+    ``n_faces`` defaults to covering every id present — an explicit
+    smaller value would silently paint ids >= n_faces as unassigned."""
     points = np.asarray(points)
     point_face = np.asarray(point_face)
+    if n_faces is None:
+        n_faces = max(int(point_face.max(initial=-1)) + 1, 1)
     pal = _palette(n_faces, seed)
     colors = np.full((len(points), 3), 60, np.uint8)
     ok = (point_face >= 0) & (point_face < n_faces)

@@ -112,6 +112,51 @@ def test_lzf_back_references():
     assert out == lit + lit[4:8] + lit[4:6]
 
 
+def test_lzf_rejects_corrupt_streams():
+    """Corrupt LZF must raise, never silently return garbage: a negative
+    back-reference would wrap via Python indexing, and a short literal
+    slice would SHRINK the bytearray, shifting later field offsets."""
+    # back reference pointing before the start of the output
+    with pytest.raises(ValueError, match="back reference"):
+        pcd._lzf_decompress(bytes([0, 1, (4 << 5) | 0, 200]), 8)
+    # literal run longer than the remaining input
+    with pytest.raises(ValueError, match="literal"):
+        pcd._lzf_decompress(bytes([7, 1, 2]), 8)
+    # truncated back-reference offset byte
+    with pytest.raises(ValueError, match="truncated"):
+        pcd._lzf_decompress(bytes([0, 1, (4 << 5) | 0]), 8)
+
+
+def test_count_header_optional(tmp_path, cloud):
+    """COUNT is optional per the PCD spec (defaults to 1) — the native
+    reader already accepted such files; the Python path must too."""
+    p = str(tmp_path / "nocount.pcd")
+    pcd.write_pcd(p, cloud, binary=False)
+    lines = [
+        l for l in open(p).read().splitlines() if not l.startswith("COUNT")
+    ]
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    np.testing.assert_allclose(
+        pcd.read_pcd(p, use_native=False), cloud, atol=1e-4
+    )
+
+
+def test_xyz_with_count_gt1_rejected_cleanly(tmp_path):
+    """x/y/z with COUNT != 1 is an unsupported layout: both readers must
+    say so (native rc=3 -> fallback -> ValueError), not crash with a
+    KeyError from a renamed structured-dtype field."""
+    p = str(tmp_path / "c2.pcd")
+    with open(p, "w") as f:
+        f.write(
+            "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+            "COUNT 2 1 1\nWIDTH 1\nHEIGHT 1\nPOINTS 1\nDATA ascii\n"
+            "0 0 1 2\n"
+        )
+    with pytest.raises(ValueError, match="COUNT"):
+        pcd.read_pcd(p, use_native=False)
+
+
 def test_read_cloud_dispatches(tmp_path, cloud):
     from fccf_pcr_tpu.io.pcd import read_cloud
 
