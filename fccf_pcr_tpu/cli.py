@@ -184,7 +184,7 @@ def main(argv=None):
         print(json.dumps({"summary": summary, "out": args.out}))
         return 0
 
-    t_load0 = time.time()
+    t_load0 = time.perf_counter()
     load_truncated: list[int] = []
     if args.native_io:
         from .io.native import native_read_ply_batch
@@ -215,7 +215,7 @@ def main(argv=None):
         from .io.pcd import read_cloud
 
         clouds = [read_cloud(p) for p in scans]
-    t_load = time.time() - t_load0
+    t_load = time.perf_counter() - t_load0
     caps, escalate_caps = _resolve_caps(caps, escalate_caps, clouds)
 
     # First (CLI-level) downsample, mirroring main() (:1668-1678); the
@@ -245,7 +245,7 @@ def main(argv=None):
             params, stage_caps, batched=args.batch is not None
         )
 
-        t0 = time.time()
+        t0 = time.perf_counter()
         if args.batch:
             sp = jnp.stack([padded[i][0] for i in range(len(padded) - 1)])
             sm = jnp.stack([padded[i][1] for i in range(len(padded) - 1)])
@@ -255,7 +255,7 @@ def main(argv=None):
         else:
             res = fn(padded[0][0], padded[0][1], padded[1][0], padded[1][1])
         jax.block_until_ready(res)
-        return res, sorted(set(pre_overflow)), time.time() - t0
+        return res, sorted(set(pre_overflow)), time.perf_counter() - t0
 
     res, pre_overflow, t_reg = run_at(caps)
 

@@ -413,16 +413,7 @@ def make_sequence(seed=0, n_scans=9, step_angle_deg=12.0, step_trans=0.8,
     return scans, T_rel, [p.astype(np.float32) for p in poses]
 
 
-def pad_points(pts, capacity):
-    """Pad (M,3) points to (capacity,3) + mask. Overflow is subsampled
-    deterministically (every k-th point)."""
-    m = pts.shape[0]
-    if m > capacity:
-        idx = np.linspace(0, m - 1, capacity).astype(np.int64)
-        pts = pts[idx]
-        m = capacity
-    out = np.zeros((capacity, 3), np.float32)
-    out[:m] = pts
-    mask = np.zeros((capacity,), bool)
-    mask[:m] = True
-    return out, mask
+# Canonical home is io/points.py (production plumbing, not a fixture);
+# re-exported here because every existing caller/test imports it from
+# synthetic.
+from .points import pad_points  # noqa: E402,F401

@@ -54,11 +54,16 @@ STATUS_HYPOTHESIS_OVERFLOW = 2
 STATUS_DEGENERATE = 4  # no type scored > 0: identity returned
 STATUS_REP_OVERFLOW = 8       # cluster seed/representative capacity exceeded
 STATUS_RESIDUAL_OVERFLOW = 16  # residual cloud truncated to max_residual
-STATUS_FINE_OVERFLOW = 32      # fine-verify source table > max_fine_voxels
-STATUS_FINE_ALIAS = 64  # fine-verify SOURCE-residual span > 1024 cells/axis:
-#   the source voxel table's wrapped keys may have merged distinct voxels
-#   (candidate poses can't alias — out-of-window target cells are dropped
-#   from the join, verify/fine.py)
+# NOTE on vocabulary: the fine-verify TABLE cloud (verify/fine.py's
+# "source", the reference's cloud_sub1) is THIS pipeline's *target*
+# residual — register_pair swaps roles at the call site like the
+# reference does (see module docstring). The two bits below are about
+# the table cloud, i.e. the TARGET residual.
+STATUS_FINE_OVERFLOW = 32      # fine-verify table > max_fine_voxels voxels
+STATUS_FINE_ALIAS = 64  # fine-verify TABLE-cloud span > 1024 cells/axis:
+#   the table's wrapped keys may have merged distinct voxels (candidate
+#   poses can't alias — out-of-window probe cells are dropped from the
+#   join, verify/fine.py)
 
 
 class RegistrationResult(NamedTuple):

@@ -122,7 +122,10 @@ def run_sweep(
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if "pair" in rec:
+                # pair indices past this invocation's list are another
+                # sweep's records: including them would contaminate the
+                # returned records and the RRE/RTE summary
+                if "pair" in rec and rec["pair"] < len(pairs):
                     done[rec["pair"]] = rec
     from ..io.synthetic import pad_points
     from ..pipeline.metrics import registration_errors
@@ -148,13 +151,23 @@ def run_sweep(
         # CLI-level first downsample (FCCF.cpp:1668-1678), raw-capacity in,
         # hot-pipeline capacity out (see register.pre_downsample).
         # Truncation at either capacity is surfaced in the per-pair
-        # records, never silent.
-        pre = jax.jit(
-            jax.vmap(lambda p, m: pre_downsample(p, m, params, stage_caps))
-        )
+        # records, never silent. On a mesh the pair axis is sharded here
+        # too — the raw clouds are the sweep's largest arrays, and an
+        # unsharded pre would run its sort on one device and reshard the
+        # outputs every batch.
+        pre_v = jax.vmap(lambda p, m: pre_downsample(p, m, params, stage_caps))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            ds = NamedSharding(mesh, PartitionSpec("data"))
+            pre = jax.jit(pre_v, in_shardings=(ds, ds), out_shardings=ds)
+        else:
+            pre = jax.jit(pre_v)
         return pre, fn
 
-    out_f = open(out_path, "a") if out_path else None
+    # resume=False means exactly that: an existing file's records must
+    # not survive (a later resume=True run would resurrect them)
+    out_f = open(out_path, "a" if resume else "w") if out_path else None
     total_time = 0.0
     n_done = 0
 
@@ -189,10 +202,10 @@ def run_sweep(
                 np.asarray(s_ovf) | np.asarray(t_ovf) | np.asarray(raw_ovf)
             )
 
-            t0 = time.time()
+            t0 = time.perf_counter()  # monotonic: NTP steps corrupt time.time
             res = fn(sp, sm, tp, tm)
             jax.block_until_ready(res)
-            dt = time.time() - t0
+            dt = time.perf_counter() - t0
             if chunk_idx > 0:  # exclude compile step from throughput
                 total_time += dt
                 if not escalated:  # escalated pairs already counted once
@@ -227,32 +240,35 @@ def run_sweep(
                     out_f.flush()
         return pass_records
 
-    todo = [i for i in range(len(pairs)) if i not in done]
-    by_pair = dict(done)
-    for rec in run_pass(todo, caps, escalated=False):
-        by_pair[rec["pair"]] = rec
-
-    n_escalated = 0
-    if escalate_caps is not None:
-        # include resumed records: a sweep interrupted between the tight
-        # pass and the escalation pass still escalates on restart (records
-        # already escalated once never re-run, even if the large caps also
-        # truncated — that status is final)
-        flagged = sorted(
-            i
-            for i, rec in by_pair.items()
-            # a resumed out file can reference pairs beyond this
-            # invocation's list — those can't be re-run here
-            if i < len(pairs)
-            and needs_escalation(rec)
-            and not rec.get("escalated")
-        )
-        n_escalated = len(flagged)
-        tight = {i: by_pair[i]["status"] for i in flagged}
-        for rec in run_pass(
-            flagged, escalate_caps, escalated=True, tight_status=tight
-        ):
+    try:
+        todo = [i for i in range(len(pairs)) if i not in done]
+        by_pair = dict(done)
+        for rec in run_pass(todo, caps, escalated=False):
             by_pair[rec["pair"]] = rec
+
+        n_escalated = 0
+        if escalate_caps is not None:
+            # include resumed records: a sweep interrupted between the
+            # tight pass and the escalation pass still escalates on
+            # restart (records already escalated once never re-run, even
+            # if the large caps also truncated — that status is final)
+            flagged = sorted(
+                i
+                for i, rec in by_pair.items()
+                if needs_escalation(rec) and not rec.get("escalated")
+            )
+            n_escalated = len(flagged)
+            tight = {i: by_pair[i]["status"] for i in flagged}
+            for rec in run_pass(
+                flagged, escalate_caps, escalated=True, tight_status=tight
+            ):
+                by_pair[rec["pair"]] = rec
+    except BaseException:
+        # the summary line marks a COMPLETED sweep; on failure just
+        # release the handle (streamed records stay for resume)
+        if out_f is not None:
+            out_f.close()
+        raise
 
     records = list(by_pair.values())
     summary = {

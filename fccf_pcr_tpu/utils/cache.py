@@ -14,7 +14,9 @@ unreachable instead of subtly wrong.
 from __future__ import annotations
 
 import hashlib
+import os
 import platform
+import re
 
 
 def host_keyed_cache_dir(tag: str) -> str:
@@ -50,4 +52,15 @@ def host_keyed_cache_dir(tag: str) -> str:
         [platform.machine(), platform.python_version(), versions, *ident]
     )
     h = hashlib.sha1(key.encode()).hexdigest()[:10]
-    return f"/tmp/jaxcache-fccf-{tag}-{h}"
+    # user-scoped and pre-created 0700: /tmp is world-writable and the
+    # hash is computable from public host facts, so an unscoped path
+    # could be squatted (PermissionError) or pre-seeded with stale
+    # entries — the exact subtle-wrong-scores failure this module
+    # exists to prevent. The tag is sanitized against path separators.
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", tag)
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    path = f"/tmp/jaxcache-fccf-{uid}-{tag}-{h}"
+    os.makedirs(path, mode=0o700, exist_ok=True)
+    if hasattr(os, "getuid") and os.stat(path).st_uid != os.getuid():
+        raise RuntimeError(f"compilation cache dir {path} owned by another user")
+    return path

@@ -28,11 +28,26 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name, *sync):
+        """Times the block, device-synchronized. JAX dispatch is async, so
+        outputs created INSIDE the block must be registered for the exit
+        barrier — append them to the yielded list::
+
+            with timer.stage("register") as live:
+                live.append(fn(x))
+
+        (``*sync`` args are evaluated at entry and only help for values
+        that already exist; without registration the recorded time is
+        just dispatch.) Recording happens even if the body raises."""
+        live: list = list(sync)
         t0 = time.perf_counter()
-        yield
-        for x in sync:
-            jax.block_until_ready(x)
-        self.times[name] = self.times.get(name, 0.0) + time.perf_counter() - t0
+        try:
+            yield live
+        finally:
+            for x in live:
+                jax.block_until_ready(x)
+            self.times[name] = (
+                self.times.get(name, 0.0) + time.perf_counter() - t0
+            )
 
     def report(self):
         total = sum(self.times.values())

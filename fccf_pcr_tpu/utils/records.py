@@ -16,6 +16,11 @@ import os
 def append_csv_cell(path: str, row: int, value) -> None:
     """Append ``value`` as a new column on line ``row`` (creating the file
     or the row if needed) — the reference's writefile contract."""
+    s = str(value)
+    if any(c in s for c in ",\n\r"):
+        # an embedded separator would silently split the cell into extra
+        # columns / rows, shifting every later index
+        raise ValueError(f"CSV cell value contains a separator: {s!r}")
     lines: list[str] = []
     if os.path.exists(path):
         with open(path) as f:

@@ -125,6 +125,38 @@ def test_sharded_wide_extent_equals_unsharded(params, caps, sweep_pairs):
         )
 
 
+def test_sweep_resume_false_truncates(params, caps, sweep_pairs, tmp_path):
+    """resume=False must not leave stale records in the out file — a later
+    resume=True run would resurrect them (and records from a LONGER old
+    sweep must not contaminate a shorter run's summary either)."""
+    pairs, gt = sweep_pairs
+    out = str(tmp_path / "s.jsonl")
+    run_sweep(pairs, params, caps, batch_size=2, ground_truth=gt,
+              out_path=out, use_mesh=False)
+    # re-run only the first two pairs with resume=False: the 3-pair
+    # records must be gone, not merged
+    records, summary = run_sweep(
+        pairs[:2], params, caps, batch_size=2, ground_truth=gt,
+        out_path=out, use_mesh=False, resume=False,
+    )
+    assert summary["n_resumed"] == 0
+    assert [r["pair"] for r in records] == [0, 1]
+    file_pairs = [
+        json.loads(l)["pair"] for l in open(out) if '"pair"' in l
+    ]
+    assert sorted(file_pairs) == [0, 1]
+    # and with resume=True against a LONGER old file, out-of-range pairs
+    # are ignored rather than returned
+    run_sweep(pairs, params, caps, batch_size=2, ground_truth=gt,
+              out_path=out, use_mesh=False, resume=False)
+    records2, summary2 = run_sweep(
+        pairs[:2], params, caps, batch_size=2, ground_truth=gt,
+        out_path=out, use_mesh=False, resume=True,
+    )
+    assert summary2["n_resumed"] == 2
+    assert [r["pair"] for r in records2] == [0, 1]
+
+
 def test_needs_escalation_classifies_status_bits():
     from fccf_pcr_tpu.pipeline import register as R
 
