@@ -20,6 +20,8 @@ Knobs (unset = built-in default):
   FCCF_SEED_COL_BLOCKED    0 | 1   column-blocked cluster seed scan
   FCCF_SWEEPS_PER_CALL     integer Pallas label-prop sweeps per kernel call
   FCCF_JUMP_ROUNDS         integer path-halving rounds between calls
+  FCCF_JUMP_IN_KERNEL      0 | 1   run the path-halving inside the kernel
+                           (per-lane Mosaic gather; tools/probe_gather.py)
 """
 
 from __future__ import annotations

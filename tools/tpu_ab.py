@@ -79,6 +79,14 @@ STEPS = [
      "base/structured"),
     ("sched-s2j1/heritage", "heritage",
      {"FCCF_JUMP_ROUNDS": "1"}, "base/heritage"),
+    # ROADMAP item 7 follow-through: path-halving inside the kernel
+    # (VMEM-speed label[label]). Fails cleanly (recorded, session
+    # continues) if Mosaic won't lower the per-lane gather — run
+    # probe/gather's verdict against this step's outcome.
+    ("jump-inkernel/heritage", "heritage",
+     {"FCCF_JUMP_IN_KERNEL": "1"}, "base/heritage"),
+    ("jump-inkernel/structured", "structured",
+     {"FCCF_JUMP_IN_KERNEL": "1"}, "base/structured"),
     # E3 column-blocked cluster seed scan (exact; tested equal on CPU).
     ("colblock/structured", "structured",
      {"FCCF_SEED_COL_BLOCKED": "1"}, "base/structured"),
