@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.tuning import env_choice
+from .sorting import cosort
 
 # A/B override for the boundary-table implementation (see
 # _kth_true_positions and utils/tuning.py); "auto" = static cost model.
@@ -100,14 +101,13 @@ def _cell_keys(points, mask, res):
 
 
 def sort_by_key(key, *payloads):
-    """Stable co-sort of payloads by an int32 key via lax.sort.
+    """Stable co-sort of payloads by an int32 key (ops/sorting.py dispatch).
 
     Payloads ride the sorting network (structured data movement) instead of
     being permuted by post-hoc random gathers — measured ~60 ms per
     131k-point gather vs ~1 ms sorts on v5e.
     """
-    out = jax.lax.sort((key, *payloads), num_keys=1, is_stable=True)
-    return out
+    return cosort((key,), payloads, stable=True)
 
 
 def _run_segments(k_s):
@@ -451,8 +451,8 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels,
         # building-scale scenes, at the cost of one extra sort operand.
         fkey, kmin, ovf = _pack_cells(fcell, mask)
         wkey_m = jnp.where(mask, wkey, _SENT)
-        fk_s, wk_s, px, py, pz = jax.lax.sort(
-            (fkey, wkey_m, p_in[:, 0], p_in[:, 1], p_in[:, 2]), num_keys=2
+        fk_s, wk_s, px, py, pz = cosort(
+            (fkey, wkey_m), (p_in[:, 0], p_in[:, 1], p_in[:, 2])
         )
         m_s = fk_s != _SENT
         unpack_bits = (_XBITS, _YBITS, _ZBITS)
@@ -476,8 +476,8 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels,
         bx = bits_f - by - bz
         fkey, kmin, ovf = _pack_cells(fcell, mask, bits=(bx, by, bz))
         ckey = jnp.where(mask, (fkey << bits_w) | wkey, _SENT)
-        ck_s, px, py, pz = jax.lax.sort(
-            (ckey, p_in[:, 0], p_in[:, 1], p_in[:, 2]), num_keys=1
+        ck_s, px, py, pz = cosort(
+            (ckey,), (p_in[:, 0], p_in[:, 1], p_in[:, 2])
         )
         m_s = ck_s != _SENT
         fk_s = ck_s >> bits_w

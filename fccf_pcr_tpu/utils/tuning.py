@@ -22,6 +22,8 @@ Knobs (unset = built-in default):
   FCCF_JUMP_ROUNDS         integer path-halving rounds between calls
   FCCF_JUMP_IN_KERNEL      0 | 1   run the path-halving inside the kernel
                            (per-lane Mosaic gather; tools/probe_gather.py)
+  FCCF_SORT_IMPL           xla | pallas  hot co-sort implementation
+                           (ops/sorting.py; pallas = bitonic VMEM kernel)
 """
 
 from __future__ import annotations

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Capacities, FCCFParams
+from ..ops.sorting import cosort
 
 # Keys are 30-bit packed cells promoted to uint32; after the label-bit shift
 # in fine_verify they span 31 bits, so the all-ones uint32 can never collide
@@ -76,7 +77,7 @@ def _unique_counts(keys, cap):
     positions (jnp.searchsorted lowers to a slow gather-round while loop
     on TPU)."""
     n = keys.shape[0]
-    s = jnp.sort(keys)
+    (s,) = cosort((keys,))
     valid = s != _SENTINEL
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & valid
     n_unique = jnp.sum(first.astype(jnp.int32))
@@ -188,7 +189,7 @@ def fine_verify(T, table: SourceTable, tar_pts, tar_mask, params, caps):
 
     # co-sort: the count payload rides the sorting network (post-hoc
     # permutation gathers of these arrays measured ~180 ms/step on v5e).
-    k_s, val_s = jax.lax.sort((keys, vals), num_keys=1)
+    k_s, val_s = cosort((keys,), (vals,))
     src_s = (k_s & 1) == 0
 
     pos = jnp.arange(n, dtype=jnp.int32)

@@ -1,0 +1,80 @@
+"""Probe: Pallas bitonic co-sort vs lax.sort at bench shapes, standalone.
+
+Times ONLY the sort (device-pinned inputs, steady state) so the kernel can
+be iterated on without full bench runs. Shapes mirror the hot call sites:
+  - (65536,)  i32 key + 3 f32 payloads   (office fused voxelize sort)
+  - (262144,) i32 key + 3 f32 payloads   (heritage raw/leaf sorts)
+  - (61440,)  u32 key + 1 f32 payload    (fine-verify join, padded to 64k)
+
+Run on the axon TPU backend:  python tools/probe_sort.py
+(tools/tpu_ab.py runs it as its ``probe/sort`` step.)
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _time(fn, args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def main():
+    from fccf_pcr_tpu.ops.pallas.sort import bitonic_cosort
+
+    rng = np.random.default_rng(0)
+    cases = [
+        ("office-voxelize-64k", 65536, np.int32, 3),
+        ("heritage-voxelize-256k", 262144, np.int32, 3),
+        ("fine-join-60k", 61440, np.uint32, 1),
+    ]
+    for name, n, kdt, n_pay in cases:
+        if kdt is np.uint32:
+            k = rng.integers(0, 2**31, n, dtype=np.uint32)
+        else:
+            k = rng.integers(0, 2**30, n).astype(np.int32)
+        pays = [rng.normal(size=n).astype(np.float32) for _ in range(n_pay)]
+        dk = jax.device_put(jnp.asarray(k))
+        dp = [jax.device_put(jnp.asarray(p)) for p in pays]
+
+        lax_fn = jax.jit(
+            lambda k_, *p_: jax.lax.sort((k_, *p_), num_keys=1)
+        )
+        # stable=True on both sides — that is the pipeline configuration
+        # (lax.sort's default) and makes the outputs bit-comparable.
+        pal_fn = jax.jit(
+            lambda k_, *p_: bitonic_cosort([k_], list(p_), stable=True)
+        )
+        rec = {"probe": name, "n": n, "payloads": n_pay}
+        try:
+            rec["lax_ms"] = round(_time(lax_fn, (dk, *dp)), 4)
+        except Exception as e:  # noqa: BLE001
+            rec["lax_error"] = f"{type(e).__name__}: {e}"[:300]
+        try:
+            rec["pallas_ms"] = round(_time(pal_fn, (dk, *dp)), 4)
+            got = pal_fn(dk, *dp)
+            assert (np.diff(np.asarray(got[0]).astype(np.int64)) >= 0).all()
+        except Exception as e:  # noqa: BLE001
+            rec["pallas_error"] = f"{type(e).__name__}: {e}"[:300]
+        if "lax_ms" in rec and "pallas_ms" in rec:
+            rec["speedup"] = round(rec["lax_ms"] / rec["pallas_ms"], 3)
+            a, b = lax_fn(dk, *dp), pal_fn(dk, *dp)
+            rec["bit_identical"] = bool(
+                all(np.array_equal(np.asarray(x), np.asarray(y))
+                    for x, y in zip(a, b))
+            )
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -87,6 +87,17 @@ STEPS = [
      {"FCCF_JUMP_IN_KERNEL": "1"}, "base/heritage"),
     ("jump-inkernel/structured", "structured",
      {"FCCF_JUMP_IN_KERNEL": "1"}, "base/structured"),
+    # Pallas bitonic co-sort kernel vs lax.sort at small/mixed/large N
+    # (ops/pallas/sort.py). Every call site is a stable sort and the
+    # kernel's stable mode is bit-identical to lax.sort, so this knob
+    # cannot change outputs — adopt on throughput alone. Fails cleanly
+    # if Mosaic rejects a roll/compare shape.
+    ("sort-pallas/office", "office",
+     {"FCCF_SORT_IMPL": "pallas"}, "base/office"),
+    ("sort-pallas/structured", "structured",
+     {"FCCF_SORT_IMPL": "pallas"}, "base/structured"),
+    ("sort-pallas/heritage", "heritage",
+     {"FCCF_SORT_IMPL": "pallas"}, "base/heritage"),
     # E3 column-blocked cluster seed scan (exact; tested equal on CPU).
     ("colblock/structured", "structured",
      {"FCCF_SEED_COL_BLOCKED": "1"}, "base/structured"),
@@ -102,8 +113,11 @@ STEPS = [
      ["--caps-set", "max_matches=2048", "--caps-set", "max_hypotheses=2560"]),
     ("tightcaps/heritage", "heritage", {}, "base/heritage",
      ["--caps-set", "max_voxels=9216"]),
-    # Mosaic per-lane gather probe (ROADMAP item 7).
+    # Mosaic per-lane gather probe (ROADMAP item 8).
     ("probe/gather", None, {}, None),
+    # Standalone sort-kernel timing at bench shapes (fast iteration on
+    # ops/pallas/sort.py without full bench runs).
+    ("probe/sort", None, {}, None, ["tools/probe_sort.py"]),
 ]
 # normalize: optional 5th element = extra bench CLI args
 STEPS = [s if len(s) == 5 else (*s, []) for s in STEPS]
@@ -149,7 +163,9 @@ def parse_record(text):
 
 def run_step(name, cfg, env, extra_args=()):
     if cfg is None:  # probe step: record raw output
-        cmd = [sys.executable, "-u", os.path.join("tools", "probe_gather.py")]
+        script = extra_args[0] if extra_args else (
+            os.path.join("tools", "probe_gather.py"))
+        cmd = [sys.executable, "-u", script]
     else:
         cmd = [sys.executable, "-u", BENCH, "--config", cfg, *extra_args]
     t0 = time.time()
