@@ -308,14 +308,16 @@ def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps,
     # the sorted keys), so the max planar slot bounds the kernel's sweep
     # work at runtime.
     n_occ = jnp.max(jnp.where(vvalid, jnp.arange(V, dtype=jnp.int32), -1)) + 1
-    labels1 = _label_components(
-        normal, vs.centroid, vvalid, params.normal_thresh1, params.l1,
-        params.k1, params, bound=n_occ,
-    )
+    with jax.named_scope("label_prop1"):
+        labels1 = _label_components(
+            normal, vs.centroid, vvalid, params.normal_thresh1, params.l1,
+            params.k1, params, bound=n_occ,
+        )
 
-    c1, n1, p1, vc1 = _face_stats(
-        labels1, vvalid, vs.count, vs.centroid, normal, V
-    )
+    with jax.named_scope("face_stats1"):
+        c1, n1, p1, vc1 = _face_stats(
+            labels1, vvalid, vs.count, vs.centroid, normal, V
+        )
     rep1 = vvalid & (labels1 == jnp.arange(V))
 
     # Pass 2: face <-> face merge to fixpoint (compare_normal 8deg, l2/k2)
@@ -326,21 +328,23 @@ def faces_from_voxels(vs, cloud_pts, point_voxel, params, caps,
     # Compaction is stable (order-preserving), so the component-min
     # compact index maps back to the component-min slot index: labels are
     # bit-identical to running the propagation in slot space.
-    n_reps, _, cvalid, c_n1, c_c1, slot_of = compact(
-        rep1, V, n1, c1, jnp.arange(V, dtype=jnp.int32)
-    )
-    labels2_c = _label_components(
-        c_n1, c_c1, cvalid, params.normal_thresh2, params.l2, params.k2,
-        params, bound=n_reps,
-    )
-    comp_of_slot = jnp.cumsum(rep1.astype(jnp.int32)) - 1
-    lbl_c = labels2_c[jnp.clip(comp_of_slot, 0, V - 1)]
-    labels2 = jnp.where(rep1, slot_of[jnp.minimum(lbl_c, V - 1)], _BIG)
+    with jax.named_scope("label_prop2"):
+        n_reps, _, cvalid, c_n1, c_c1, slot_of = compact(
+            rep1, V, n1, c1, jnp.arange(V, dtype=jnp.int32)
+        )
+        labels2_c = _label_components(
+            c_n1, c_c1, cvalid, params.normal_thresh2, params.l2, params.k2,
+            params, bound=n_reps,
+        )
+        comp_of_slot = jnp.cumsum(rep1.astype(jnp.int32)) - 1
+        lbl_c = labels2_c[jnp.clip(comp_of_slot, 0, V - 1)]
+        labels2 = jnp.where(rep1, slot_of[jnp.minimum(lbl_c, V - 1)], _BIG)
 
     final_label = jnp.where(vvalid, labels2[jnp.minimum(labels1, V - 1)], _BIG)
-    cF, nF, pF, vcF = _face_stats(
-        final_label, vvalid, vs.count, vs.centroid, normal, V
-    )
+    with jax.named_scope("face_statsF"):
+        cF, nF, pF, vcF = _face_stats(
+            final_label, vvalid, vs.count, vs.centroid, normal, V
+        )
     repF = vvalid & (final_label == jnp.arange(V))
 
     # Per-voxel angle to its face's average normal -> per-face roughness

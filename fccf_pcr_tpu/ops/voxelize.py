@@ -195,13 +195,18 @@ def _kth_true_positions(flag, S, impl=None):
     vs 5 ns/update-row): bsearch iff 2 * S * ceil(log2 N) < N.
     """
     n = flag.shape[0]
-    c = jnp.cumsum(flag.astype(jnp.int32))  # inclusive, monotone
-    count = c[-1]
     if impl is None:
         impl = _KTH_IMPL
     if impl == "auto":
         impl = "bsearch" if 2 * S * max(1, int(n - 1).bit_length()) < n \
             else "scatter"
+    with jax.named_scope(f"kth_{impl}"):
+        return _kth_impl(flag, S, impl, n)
+
+
+def _kth_impl(flag, S, impl, n):
+    c = jnp.cumsum(flag.astype(jnp.int32))  # inclusive, monotone
+    count = c[-1]
     if impl == "scatter":
         k = c - 1  # at True rows: 0-based rank of this True
         idx = jnp.arange(n, dtype=jnp.int32)
@@ -451,9 +456,10 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels,
         # building-scale scenes, at the cost of one extra sort operand.
         fkey, kmin, ovf = _pack_cells(fcell, mask)
         wkey_m = jnp.where(mask, wkey, _SENT)
-        fk_s, wk_s, px, py, pz = cosort(
-            (fkey, wkey_m), (p_in[:, 0], p_in[:, 1], p_in[:, 2])
-        )
+        with jax.named_scope("fused_sort"):
+            fk_s, wk_s, px, py, pz = cosort(
+                (fkey, wkey_m), (p_in[:, 0], p_in[:, 1], p_in[:, 2])
+            )
         m_s = fk_s != _SENT
         unpack_bits = (_XBITS, _YBITS, _ZBITS)
         leaf_first = jnp.concatenate(
@@ -476,9 +482,10 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels,
         bx = bits_f - by - bz
         fkey, kmin, ovf = _pack_cells(fcell, mask, bits=(bx, by, bz))
         ckey = jnp.where(mask, (fkey << bits_w) | wkey, _SENT)
-        ck_s, px, py, pz = cosort(
-            (ckey,), (p_in[:, 0], p_in[:, 1], p_in[:, 2])
-        )
+        with jax.named_scope("fused_sort"):
+            ck_s, px, py, pz = cosort(
+                (ckey,), (p_in[:, 0], p_in[:, 1], p_in[:, 2])
+            )
         m_s = ck_s != _SENT
         fk_s = ck_s >> bits_w
         unpack_bits = (bx, by, bz)

@@ -77,7 +77,8 @@ def _unique_counts(keys, cap):
     positions (jnp.searchsorted lowers to a slow gather-round while loop
     on TPU)."""
     n = keys.shape[0]
-    (s,) = cosort((keys,))
+    with jax.named_scope("table_sort"):
+        (s,) = cosort((keys,))
     valid = s != _SENTINEL
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & valid
     n_unique = jnp.sum(first.astype(jnp.int32))
@@ -189,7 +190,8 @@ def fine_verify(T, table: SourceTable, tar_pts, tar_mask, params, caps):
 
     # co-sort: the count payload rides the sorting network (post-hoc
     # permutation gathers of these arrays measured ~180 ms/step on v5e).
-    k_s, val_s = cosort((keys,), (vals,))
+    with jax.named_scope("join_sort"):
+        k_s, val_s = cosort((keys,), (vals,))
     src_s = (k_s & 1) == 0
 
     pos = jnp.arange(n, dtype=jnp.int32)
