@@ -110,6 +110,23 @@ def test_presorted_and_reverse_inputs():
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.slow
+def test_bench_shape_office_sort():
+    """The exact office fused-voxelize shape: 65536 rows, one int32 key
+    with a sentinel tail, three f32 payloads, stable — bit-identical to
+    lax.sort (this is the configuration the sort-pallas A/B flips)."""
+    rng = np.random.default_rng(42)
+    n = 65536
+    k = rng.integers(0, 1 << 30, n).astype(np.int32)
+    k[60000:] = np.iinfo(np.int32).max  # sentinel tail like masked points
+    pays = [jnp.asarray(rng.normal(size=n).astype(np.float32))
+            for _ in range(3)]
+    got = bitonic_cosort([jnp.asarray(k)], pays, stable=True, interpret=True)
+    want = _ref([jnp.asarray(k)], pays, stable=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_dispatch_default_is_lax_sort():
     """cosort with the default knob must be exactly lax.sort (the measured
     baseline) on every backend."""

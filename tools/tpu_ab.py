@@ -98,6 +98,8 @@ STEPS = [
      {"FCCF_SORT_IMPL": "pallas"}, "base/structured"),
     ("sort-pallas/heritage", "heritage",
      {"FCCF_SORT_IMPL": "pallas"}, "base/heritage"),
+    ("sort-pallas/apartment", "apartment",
+     {"FCCF_SORT_IMPL": "pallas"}, "base/apartment"),
     # E3 column-blocked cluster seed scan (exact; tested equal on CPU).
     ("colblock/structured", "structured",
      {"FCCF_SEED_COL_BLOCKED": "1"}, "base/structured"),
