@@ -140,12 +140,18 @@ def load_results(path=RESULTS):
 
 def step_done(entry, cfg):
     """A step counts as done only with a real measurement: probe steps
-    need any completed run; bench steps need a record that is not the
+    need a completed run whose captured output shows no per-case error
+    (probe scripts catch per-case exceptions and still exit 0 — an
+    all-error run must be retried after the kernel is fixed, same as a
+    failed bench step); bench steps need a record that is not the
     fail-fast infra-failure JSON (which also carries "metric")."""
     if not entry:
         return False
     if cfg is None:
-        return entry.get("exit_code") == 0
+        return (
+            entry.get("exit_code") == 0
+            and "_error" not in entry.get("output", "")
+        )
     rec = entry.get("record")
     return bool(rec) and "error" not in rec
 
