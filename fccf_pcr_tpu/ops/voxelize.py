@@ -100,14 +100,14 @@ def _cell_keys(points, mask, res):
     return _pack_cells(jnp.floor(points / res).astype(jnp.int32), mask)
 
 
-def sort_by_key(key, *payloads):
+def sort_by_key(key, *payloads, site=None):
     """Stable co-sort of payloads by an int32 key (ops/sorting.py dispatch).
 
     Payloads ride the sorting network (structured data movement) instead of
     being permuted by post-hoc random gathers — measured ~60 ms per
     131k-point gather vs ~1 ms sorts on v5e.
     """
-    return cosort((key,), payloads, stable=True)
+    return cosort((key,), payloads, stable=True, site=site)
 
 
 def _run_segments(k_s):
@@ -246,7 +246,9 @@ def voxel_grid_downsample(points, mask, res, out_capacity=None):
     # EXACTLY from the sorted key at each run start and added back.
     anchor = jnp.floor(points / res) * res
     v = (points - anchor) * w[:, None]
-    k_s, vx, vy, vz = sort_by_key(key, v[:, 0], v[:, 1], v[:, 2])
+    k_s, vx, vy, vz = sort_by_key(
+        key, v[:, 0], v[:, 1], v[:, 2], site="downsample"
+    )
     m_s = k_s != _SENT  # invalid points carry the sentinel key
     seg_id, _ = _run_segments(k_s)
     seg = jnp.where(m_s, jnp.minimum(seg_id, cap), cap)
@@ -337,7 +339,7 @@ def voxel_stats(points, mask, res, num_voxels):
     V = num_voxels
     key, kmin, key_ovf = _cell_keys(points, mask, res)
     k_s, px, py, pz = sort_by_key(
-        key, points[:, 0], points[:, 1], points[:, 2]
+        key, points[:, 0], points[:, 1], points[:, 2], site="stats"
     )
     pts_s = jnp.stack([px, py, pz], axis=-1)
     m_s = k_s != _SENT  # invalid points carry the sentinel key
@@ -458,7 +460,8 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels,
         wkey_m = jnp.where(mask, wkey, _SENT)
         with jax.named_scope("fused_sort"):
             fk_s, wk_s, px, py, pz = cosort(
-                (fkey, wkey_m), (p_in[:, 0], p_in[:, 1], p_in[:, 2])
+                (fkey, wkey_m), (p_in[:, 0], p_in[:, 1], p_in[:, 2]),
+                site="fused",
             )
         m_s = fk_s != _SENT
         unpack_bits = (_XBITS, _YBITS, _ZBITS)
@@ -484,7 +487,7 @@ def downsample_and_voxelize(points, mask, leaf, face_res, num_voxels,
         ckey = jnp.where(mask, (fkey << bits_w) | wkey, _SENT)
         with jax.named_scope("fused_sort"):
             ck_s, px, py, pz = cosort(
-                (ckey,), (p_in[:, 0], p_in[:, 1], p_in[:, 2])
+                (ckey,), (p_in[:, 0], p_in[:, 1], p_in[:, 2]), site="fused"
             )
         m_s = ck_s != _SENT
         fk_s = ck_s >> bits_w

@@ -24,6 +24,11 @@ Knobs (unset = built-in default):
                            (per-lane Mosaic gather; tools/probe_gather.py)
   FCCF_SORT_IMPL           xla | pallas  hot co-sort implementation
                            (ops/sorting.py; pallas = bitonic VMEM kernel)
+  FCCF_SORT_IMPL_<SITE>    per-call-site override of FCCF_SORT_IMPL;
+                           SITE in DOWNSAMPLE | STATS | FUSED | TABLE |
+                           JOIN (ops/sorting.SITES). Unset/empty inherits
+                           the global knob — lets an A/B adopt the kernel
+                           only where it wins.
 """
 
 from __future__ import annotations

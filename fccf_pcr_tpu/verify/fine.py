@@ -78,7 +78,7 @@ def _unique_counts(keys, cap):
     on TPU)."""
     n = keys.shape[0]
     with jax.named_scope("table_sort"):
-        (s,) = cosort((keys,))
+        (s,) = cosort((keys,), site="table")
     valid = s != _SENTINEL
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & valid
     n_unique = jnp.sum(first.astype(jnp.int32))
@@ -191,7 +191,7 @@ def fine_verify(T, table: SourceTable, tar_pts, tar_mask, params, caps):
     # co-sort: the count payload rides the sorting network (post-hoc
     # permutation gathers of these arrays measured ~180 ms/step on v5e).
     with jax.named_scope("join_sort"):
-        k_s, val_s = cosort((keys,), (vals,))
+        k_s, val_s = cosort((keys,), (vals,), site="join")
     src_s = (k_s & 1) == 0
 
     pos = jnp.arange(n, dtype=jnp.int32)

@@ -7,6 +7,13 @@ whole suite runnable without a TPU; sharding tests use the virtual mesh).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Subprocess-spawning tests inherit os.environ; with the remote-TPU tunnel
+# down, axon's sitecustomize register() retries forever at interpreter
+# BOOT, so a child python would hang before running any test code. The
+# suite is CPU-only by design — strip the trigger so children boot clean.
+# (Too late for THIS interpreter — sitecustomize already ran — which is
+# why a tunnel-down suite launch must itself unset it: see docs/ROADMAP.)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

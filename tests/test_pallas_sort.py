@@ -1,6 +1,8 @@
 """Bitonic co-sort kernel (ops/pallas/sort.py) vs lax.sort, and the
 FCCF_SORT_IMPL dispatch (ops/sorting.py)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -137,3 +139,32 @@ def test_dispatch_default_is_lax_sort():
     want = _ref([k], [p], stable=True)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_per_site_impl_resolution():
+    """FCCF_SORT_IMPL_<SITE> overrides the global knob at exactly that
+    site; empty/unset inherits; unknown sites are rejected (fresh import
+    in a subprocess — the knobs are read once at module import)."""
+    import subprocess
+    import sys
+
+    code = (
+        "from fccf_pcr_tpu.ops import sorting as s\n"
+        "assert s._impl(None) == 'xla'\n"
+        "assert s._impl('join') == 'pallas'\n"
+        "assert s._impl('fused') == 'xla'\n"
+        "for site in s.SITES:\n"
+        "    s._impl(site)\n"
+        "try:\n"
+        "    s._impl('nope')\n"
+        "except ValueError:\n"
+        "    print('OK')\n"
+    )
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               FCCF_SORT_IMPL="xla",
+               FCCF_SORT_IMPL_JOIN="pallas")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "OK"

@@ -103,3 +103,30 @@ def test_runner_loop_against_fake_bench(tmp_path):
     # resume: everything already measured -> nothing to do
     p = runner("--only", "office")
     assert "nothing to do" in p.stdout
+
+
+@pytest.mark.slow
+def test_runner_aborts_on_step_timeout(tmp_path):
+    """A step that hits the hard timeout with no record aborts the whole
+    session (tunnel-down = python hangs at interpreter boot, so every
+    later step would burn its full timeout too); the step stays
+    not-done for resume."""
+    fake = tmp_path / "hang_bench.py"
+    fake.write_text("import time\ntime.sleep(60)\n")
+    results = tmp_path / "results.jsonl"
+    p = subprocess.run(
+        [sys.executable, os.path.join("tools", "tpu_ab.py"),
+         "--only", "base/office"],
+        cwd=REPO,
+        env={**os.environ,
+             "FCCF_TPU_AB_RESULTS": str(results),
+             "FCCF_TPU_AB_BENCH": str(fake),
+             "FCCF_TPU_AB_TIMEOUT_S": "3"},
+        capture_output=True, text=True, timeout=120,
+    )
+    assert p.returncode == 3, p.stdout + p.stderr
+    assert "timed out with no bench record" in p.stdout
+    rec = json.loads(results.read_text().splitlines()[-1])
+    assert rec["exit_code"] == -1 and rec["record"] is None
+    from tools.tpu_ab import step_done
+    assert not step_done(rec, "office")

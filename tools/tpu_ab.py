@@ -39,7 +39,7 @@ RESULTS = os.environ.get(
     "FCCF_TPU_AB_RESULTS", os.path.join(ROOT, "tpu_ab_results.jsonl")
 )
 BENCH = os.environ.get("FCCF_TPU_AB_BENCH", "bench.py")
-STEP_TIMEOUT_S = 1500
+STEP_TIMEOUT_S = int(os.environ.get("FCCF_TPU_AB_TIMEOUT_S", "1500"))
 
 # (name, bench config | None, env overrides, baseline step | None).
 # Order matters: baselines run first so every A/B compares within-session
@@ -234,6 +234,19 @@ def cmd_run(only):
                       f"{rec.get('output', '')[:200]}", flush=True)
             if rec["exit_code"] == 3:
                 print("ABORT: backend unreachable (bench fail-fast); "
+                      "re-run when the tunnel is back — completed steps "
+                      "are skipped.", flush=True)
+                return 3
+            if rec["exit_code"] == -1 and rec["record"] is None:
+                # Step hit the hard timeout without producing any record.
+                # When the tunnel drops, axon's sitecustomize register()
+                # retries forever at interpreter BOOT, so the subprocess
+                # hangs before bench.py's own fail-fast probe can even
+                # run — every remaining step would burn the full timeout.
+                # Treat it like the fail-fast abort; the session resumes.
+                print("ABORT: step timed out with no bench record "
+                      "(backend likely unreachable — python hangs at "
+                      "interpreter boot while the tunnel is down); "
                       "re-run when the tunnel is back — completed steps "
                       "are skipped.", flush=True)
                 return 3
