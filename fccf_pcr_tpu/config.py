@@ -90,6 +90,16 @@ class FCCFParams:
     # documented accuracy divergence from the reference; set 0 to restore
     # reference-faithful fusion).
     fuse_rotation_gate_deg: float = 10.0
+    # Keep the better of the pre-/post-refinement pose by fine score
+    # (False = the reference's order: refine, then fine-verify only the
+    # refined pose, FCCF.cpp:772-776 + :1538). The hall-38 trace
+    # (docs/PARITY.md divergence 8) shows the matched-pair LM can migrate
+    # a candidate out of its fine-score basin — refinement reduced BOTH
+    # the fine score (0.33 -> 0.21) and ground-truth accuracy on that
+    # pair. When True, every fine-verified candidate is scored at both
+    # poses and the higher-fine-score pose proceeds to selection/fusion
+    # (ties keep the refined pose). Costs one extra fine-verify batch.
+    refine_fine_guard: bool = False
 
     def replace(self, **kw) -> "FCCFParams":
         return dataclasses.replace(self, **kw)

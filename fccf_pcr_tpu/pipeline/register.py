@@ -183,7 +183,22 @@ def _register_pair_impl(
         fv = jax.vmap(
             lambda T: fine_verify(T, table, r2_pts, r2_valid, params, caps)
         )
-        fscore_flat, falias_flat = fv(top_T.reshape(3 * K, 4, 4))
+        if params.refine_fine_guard:
+            # Intentional divergence (default off, FCCFParams docstring):
+            # score each candidate's pre- AND post-refinement pose and
+            # keep the one the fine table prefers; ties keep the refined
+            # pose, the reference's only choice (:772-776).
+            both = jnp.concatenate(
+                [top_T.reshape(3 * K, 4, 4), top_T0.reshape(3 * K, 4, 4)]
+            )
+            fs_both, fa_both = fv(both)
+            post, pre = fs_both[: 3 * K], fs_both[3 * K :]
+            pick_pre = (pre > post).reshape(3, K)
+            top_T = jnp.where(pick_pre[..., None, None], top_T0, top_T)
+            fscore_flat = jnp.where(pick_pre.reshape(-1), pre, post)
+            falias_flat = fa_both[: 3 * K] | fa_both[3 * K :]
+        else:
+            fscore_flat, falias_flat = fv(top_T.reshape(3 * K, 4, 4))
         fscore = jnp.where(top_valid, fscore_flat.reshape(3, K), 0.0)
         fine_aliased = jnp.any(falias_flat.reshape(3, K) & top_valid)
 

@@ -81,3 +81,21 @@ def test_nan_points_are_removed(register, caps):
     rre, rte = registration_errors(res.transform, jnp.asarray(T_gt))
     assert np.isfinite(np.asarray(res.transform)).all()
     assert float(rre) < 0.5 and float(rte) < 0.15
+
+
+def test_refine_fine_guard_dominates(params, caps):
+    """refine_fine_guard=True must (a) never lower any candidate's fine
+    score (it is a pointwise max over the pre/post-refinement poses),
+    (b) still recover ground truth, and (c) leave the default-off path
+    untouched (same params -> same jit cache key -> same graph)."""
+    src_p, src_m, tar_p, tar_m, T_gt = _pair(caps, 7)
+    off = make_register_fn(params, caps)(src_p, src_m, tar_p, tar_m)
+    on = make_register_fn(params.replace(refine_fine_guard=True), caps)(
+        src_p, src_m, tar_p, tar_m
+    )
+    f_off = np.asarray(off.fine_score)
+    f_on = np.asarray(on.fine_score)
+    assert np.all(f_on >= f_off - 1e-7), (f_on, f_off)
+    rre, rte = registration_errors(on.transform, jnp.asarray(T_gt))
+    assert float(rre) < 0.5 and float(rte) < 0.15
+    assert int(on.status) & STATUS_DEGENERATE == 0
