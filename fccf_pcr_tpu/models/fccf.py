@@ -51,8 +51,14 @@ _STANDARD_CAPS = Capacities(      # office: raw<=124k, down<=61k, vox<=1019,
     max_points=1 << 16,           #   match<=1610, hyp<=1954, res<=18.6k,
     max_raw_points=1 << 17,       #   fine<=1408, span<=30 cells
     max_voxels=1536,              # (8 bench seeds, tools/measure_content.py)
-    max_matches=2560,             # 1.59x over the 1610 measured max
-    max_hypotheses=3072,          # 1.57x over the 1954 measured max
+    # match/hyp lanes run TIGHT (1.27x/1.05x over the bench-seed maxima,
+    # under the 1.4x envelope policy): the round-3 on-chip A/B measured
+    # +9.6% pairs/s (tightcaps/office, tpu_ab_results.jsonl) with
+    # bit-identical accuracy. Tight lanes are policy-legal only because
+    # overflow raises a status bit and sweep drivers re-run flagged pairs
+    # at auto_escalation_caps (evaluate.py --escalate-caps auto).
+    max_matches=2048,
+    max_hypotheses=2048,
     max_reps=256,
     max_clusters=2048,
     # Residual feeds the fine-verify join (12 sorted joins of
@@ -87,9 +93,13 @@ _STRUCTURED_CAPS = dataclasses.replace(  # stairs: raw<=112k, down<=31.2k,
 _OUTDOOR_CAPS = dataclasses.replace(  # cross-season (TPU path, 40 eval
     _STANDARD_CAPS,                   #   seeds): raw<=102k, down<=57k,
     max_raw_points=1 << 18,           #   vox<=1023, match<=1662, hyp<=2238
-    max_matches=3072,                 #   (seed 6 — past the inherited 2048
-    max_hypotheses=3584,              #   cap), res<=20k, fine<=1230
-    max_residual=28672,               # res 1.43x / hyp 1.60x over eval max
+    # tight lanes (1.23x/1.14x over the 40-seed eval maxima): the round-3
+    # A/B measured +19.8% pairs/s (tightcaps/cross-season) at identical
+    # accuracy; escalation covers the tail (see _STANDARD_CAPS note).
+    # eval seed 6's hyp=2238 exceeded an earlier 2048 cap, hence 2560.
+    max_matches=2048,
+    max_hypotheses=2560,
+    max_residual=28672,               # res 1.43x over eval max
     max_fine_voxels=2048,
 )
 
@@ -109,14 +119,18 @@ _RESSO_CAPS = Capacities(   # facade family (tools/measure_content.py over
 _HERITAGE_CAPS = Capacities(  # courtyard family (measure_content, 8
     max_points=245760,        #   seeds, leaf 0.2 / face 2.0): raw<=283k,
     max_raw_points=294912,    #   down<=238k, vox<=8526, match<=960,
-    max_voxels=12288,         #   hyp<=1299, seeds<=954, res<=36.5k (40-
+    # 9216 = 1.08x over the observed 8526 voxel max (O(V^2) label-prop
+    # work scales with this cap): round-3 A/B +5.9% (tightcaps/heritage)
+    # at identical accuracy; overflow is flagged + escalated like every
+    # other bound. V must stay a multiple of 1024 for the Pallas j-chunk.
+    max_voxels=9216,          #   hyp<=1299, seeds<=954, res<=36.5k (40-
     max_matches=2048,         #   seed eval max; 30.5k on the bench
     max_hypotheses=3072,      #   seeds), fine<=22.9k, span<=281 cells
     max_reps=256,             #   (0.5 m fine voxel, no aliasing).
     max_clusters=2048,        # Colonnade parallel-plane fan-out reaches
     max_residual=53248,       #   30 third-plane hits on one match (eval
     per_match_hits=48,        #   seed 38, TPU face path) — cap 48 (1.6x).
-    max_fine_voxels=1 << 15,  # res 1.46x / vox 1.44x over observed maxima
+    max_fine_voxels=1 << 15,  # res 1.46x over the observed maximum
     wide_extent=True,
 )
 

@@ -32,20 +32,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...utils.tuning import env_bool, env_int
+from ...utils.tuning import env_int
 
 # A/B overrides for the sweep schedule (any schedule reaches the same
 # fixpoint — tests/test_pallas_label_prop.py pins schedule invariance;
 # see utils/tuning.py and the jump() comment below for the measurements).
+# An in-kernel path-halving variant (FCCF_JUMP_IN_KERNEL) was built and
+# REMOVED round 4: label[label] is an arbitrary-index gather over the
+# whole (V,) vector and Mosaic lowers neither 1D gathers ("Only 2D
+# gather is supported", tools/probe_gather.py on v5e) nor the two-level
+# row+lane composition the 2D take_along_axis form would need.
 _DEFAULT_SWEEPS = env_int("FCCF_SWEEPS_PER_CALL", 2)
-_DEFAULT_JUMP = env_int("FCCF_JUMP_ROUNDS", 2)
-# Run the path-halving INSIDE the kernel (VMEM-speed label[label] after
-# each sweep's last i-block) instead of as an XLA gather loop between
-# kernel calls. Feasibility depends on Mosaic lowering per-lane dynamic
-# gathers (tools/probe_gather.py); ~1-3 ms/step at building-scale V if it
-# does. Exactness does not depend on placement (any schedule converges to
-# the same fixpoint — see test_schedule_invariance).
-_DEFAULT_JUMP_IN_KERNEL = env_bool("FCCF_JUMP_IN_KERNEL", False)
+# JUMP default 1 (was 2): the round-3 on-chip A/B measured +4.0% pairs/s
+# on heritage (sched-s2j1, tpu_ab_results.jsonl) with identical accuracy,
+# and the convergence simulation (jump() comment below) says call counts
+# are identical for J in {1, 2, 4, 8} — J=1 keeps the chain-shortcut
+# safety margin at half the gather cost. J=0 costs one extra O(V^2) call
+# (sched-s4j0 measured -2.0%/-6.7%).
+_DEFAULT_JUMP = env_int("FCCF_JUMP_ROUNDS", 1)
 
 _BIG = 2**30  # python int: jnp scalars become captured consts in kernels
 
@@ -77,7 +81,6 @@ def _sweep_kernel(
     V: int,
     BI: int,
     BJ: int,
-    JUMP_IN_KERNEL: int = 0,
 ):
     s = pl.program_id(0)
     ib = pl.program_id(1)
@@ -174,28 +177,6 @@ def _sweep_kernel(
 
         labels_ref[0:1, pl.ds(i0, BI)] = new
 
-    # In-kernel path-halving after each sweep's last i-block (static
-    # JUMP_IN_KERNEL = rounds; 0 compiles the block away). Runs OUTSIDE
-    # the bound gate: the jump touches all V lanes, but invalid slots are
-    # guarded by their _BIG labels. Valid slots always hold labels < V
-    # (seeded to own index, min'd only against valid neighbors), so the
-    # clamped gather index is exact for them; invalid slots stay _BIG via
-    # the l < _BIG guard. A no-op sweep implies per-component-constant
-    # labels, so the jump after it is also a no-op and the change flag's
-    # semantics are unaffected.
-    if JUMP_IN_KERNEL:
-        n_i = pl.num_programs(1)
-
-        @pl.when(ib == n_i - 1)
-        def _jump():
-            def round_(_, l):
-                cand = jnp.take(l, jnp.minimum(l, V - 1), axis=0)
-                return jnp.where(l < _BIG, jnp.minimum(l, cand), l)
-
-            labels_ref[0, :] = jax.lax.fori_loop(
-                0, JUMP_IN_KERNEL, round_, labels_ref[0, :]
-            )
-
 
 def _pack_stats(normal, centroid, valid, angle_thresh_deg):
     """Build the two stat layouts consumed by the kernel."""
@@ -225,7 +206,6 @@ def label_propagate_pallas(
     normal, centroid, valid, angle_thresh_deg, l, k,
     sweeps_per_call: int | None = None, max_calls: int = 32,
     interpret: bool = False, bound=None, jump_rounds: int | None = None,
-    jump_in_kernel: bool | None = None,
 ):
     """Connected-component min labels of the affinity graph, via the fused
     kernel. Semantically identical to features.faces._pairwise_affinity +
@@ -239,17 +219,11 @@ def label_propagate_pallas(
 
     ``sweeps_per_call`` / ``jump_rounds`` default to the module schedule
     (2/2, overridable per process via FCCF_SWEEPS_PER_CALL /
-    FCCF_JUMP_ROUNDS for on-chip A/Bs — any schedule is exact).
-    ``jump_in_kernel`` (FCCF_JUMP_IN_KERNEL) moves the ``jump_rounds``
-    path-halving rounds inside the kernel (after each sweep's last
-    i-block, VMEM-resident) instead of the XLA gather loop between calls;
-    requires Mosaic to lower per-lane gathers (tools/probe_gather.py)."""
+    FCCF_JUMP_ROUNDS for on-chip A/Bs — any schedule is exact)."""
     if sweeps_per_call is None:
         sweeps_per_call = _DEFAULT_SWEEPS
     if jump_rounds is None:
         jump_rounds = _DEFAULT_JUMP
-    if jump_in_kernel is None:
-        jump_in_kernel = _DEFAULT_JUMP_IN_KERNEL
     V = normal.shape[0]
     bi, bj = _block_sizes(V)
     assert V % bi == 0 and V % bj == 0, f"V={V} must be a multiple of {bj}"
@@ -262,10 +236,7 @@ def label_propagate_pallas(
     labels0 = jnp.where(valid, jnp.arange(V, dtype=jnp.int32), _BIG).reshape(1, V)
 
     call = pl.pallas_call(
-        functools.partial(
-            _sweep_kernel, V=V, BI=bi, BJ=bj,
-            JUMP_IN_KERNEL=jump_rounds if jump_in_kernel else 0,
-        ),
+        functools.partial(_sweep_kernel, V=V, BI=bi, BJ=bj),
         grid=(sweeps_per_call, V // bi),
         in_specs=[
             pl.BlockSpec((V, 16), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
@@ -310,8 +281,8 @@ def label_propagate_pallas(
         # Default 2 keeps a margin; ANY schedule is exact (the convergence
         # loop stops only when a full sweep is a no-op, which implies
         # per-component-constant labels).
-        if jump_rounds == 0 or jump_in_kernel:
-            return labels  # in-kernel variant already jumped per sweep
+        if jump_rounds == 0:
+            return labels
         l = labels.reshape(V)
 
         def body(_, x):

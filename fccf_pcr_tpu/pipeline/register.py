@@ -196,7 +196,9 @@ def _register_pair_impl(
             pick_pre = (pre > post).reshape(3, K)
             top_T = jnp.where(pick_pre[..., None, None], top_T0, top_T)
             fscore_flat = jnp.where(pick_pre.reshape(-1), pre, post)
-            falias_flat = fa_both[: 3 * K] | fa_both[3 * K :]
+            # the alias flag derives from the STATIC source table alone
+            # (fine.py), so it is pose-independent: either half suffices
+            falias_flat = fa_both[: 3 * K]
         else:
             fscore_flat, falias_flat = fv(top_T.reshape(3 * K, 4, 4))
         fscore = jnp.where(top_valid, fscore_flat.reshape(3, K), 0.0)

@@ -20,15 +20,11 @@ Knobs (unset = built-in default):
   FCCF_SEED_COL_BLOCKED    0 | 1   column-blocked cluster seed scan
   FCCF_SWEEPS_PER_CALL     integer Pallas label-prop sweeps per kernel call
   FCCF_JUMP_ROUNDS         integer path-halving rounds between calls
-  FCCF_JUMP_IN_KERNEL      0 | 1   run the path-halving inside the kernel
-                           (per-lane Mosaic gather; tools/probe_gather.py)
-  FCCF_SORT_IMPL           xla | pallas  hot co-sort implementation
-                           (ops/sorting.py; pallas = bitonic VMEM kernel)
-  FCCF_SORT_IMPL_<SITE>    per-call-site override of FCCF_SORT_IMPL;
-                           SITE in DOWNSAMPLE | STATS | FUSED | TABLE |
-                           JOIN (ops/sorting.SITES). Unset/empty inherits
-                           the global knob — lets an A/B adopt the kernel
-                           only where it wins.
+
+(Two round-3 knobs are gone: FCCF_SORT_IMPL — the Pallas bitonic
+co-sort lost its on-chip A/B 2x to lax.sort and was removed, see
+ops/sorting.py — and FCCF_JUMP_IN_KERNEL — Mosaic lowers no 1D gather,
+see ops/pallas/label_prop.py.)
 """
 
 from __future__ import annotations

@@ -115,49 +115,3 @@ def test_schedule_invariance(schedule):
         )
     )
     np.testing.assert_array_equal(got, want)
-
-
-@pytest.mark.parametrize("schedule", [(2, 2), (1, 1), (2, 0)])
-@pytest.mark.parametrize("prefix", [None, 130])
-def test_jump_in_kernel_matches(schedule, prefix):
-    """The in-kernel path-halving variant (FCCF_JUMP_IN_KERNEL) reaches
-    the identical fixpoint as the between-call XLA jump, with and without
-    an occupancy bound (invalid slots must stay at the _BIG sentinel
-    through the in-kernel gather's clamped indices)."""
-    sweeps, jumps = schedule
-    rng = np.random.default_rng(11)
-    V = 512
-    n_groups = 6
-    gn = rng.normal(size=(n_groups, 3))
-    gn /= np.linalg.norm(gn, axis=1, keepdims=True)
-    gc = rng.uniform(-10, 10, (n_groups, 3))
-    which = rng.integers(0, n_groups, V)
-    normal = (gn[which] + rng.normal(0, 0.01, (V, 3))).astype(np.float32)
-    offsets = rng.uniform(-4, 4, (V, 3)).astype(np.float32)
-    offsets -= (offsets * gn[which]).sum(1, keepdims=True) * gn[which]
-    centroid = (gc[which] + offsets).astype(np.float32)
-    if prefix is None:
-        valid = rng.uniform(size=V) > 0.15
-        bound = None
-    else:
-        valid = np.arange(V) < prefix
-        bound = jnp.int32(prefix)
-
-    args = (
-        jnp.asarray(normal),
-        jnp.asarray(centroid),
-        jnp.asarray(valid),
-        5.0,
-        0.5,
-        5.0,
-    )
-    want = np.asarray(
-        label_propagate_pallas(*args, interpret=True, bound=bound)
-    )
-    got = np.asarray(
-        label_propagate_pallas(
-            *args, sweeps_per_call=sweeps, jump_rounds=jumps,
-            jump_in_kernel=True, interpret=True, bound=bound,
-        )
-    )
-    np.testing.assert_array_equal(got, want)

@@ -83,13 +83,23 @@ def test_nan_points_are_removed(register, caps):
     assert float(rre) < 0.5 and float(rte) < 0.15
 
 
-def test_refine_fine_guard_dominates(params, caps):
+def test_refine_fine_guard_dominates(params, caps, register):
     """refine_fine_guard=True must (a) never lower any candidate's fine
     score (it is a pointwise max over the pre/post-refinement poses),
     (b) still recover ground truth, and (c) leave the default-off path
-    untouched (same params -> same jit cache key -> same graph)."""
+    untouched — asserted by comparing the off-path result against the
+    module-scoped ``register`` fixture (compiled before this test ran)."""
     src_p, src_m, tar_p, tar_m, T_gt = _pair(caps, 7)
     off = make_register_fn(params, caps)(src_p, src_m, tar_p, tar_m)
+    # (c): the freshly-built off-path graph reproduces the fixture's
+    # output exactly for the same pair
+    fix = register(src_p, src_m, tar_p, tar_m)
+    np.testing.assert_array_equal(
+        np.asarray(off.transform), np.asarray(fix.transform)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(off.fine_score), np.asarray(fix.fine_score)
+    )
     on = make_register_fn(params.replace(refine_fine_guard=True), caps)(
         src_p, src_m, tar_p, tar_m
     )

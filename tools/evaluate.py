@@ -18,7 +18,7 @@ import numpy as np
 
 
 def evaluate_config(name, cfg, seeds, batch, rotation_gate=None,
-                    escalate_caps=None):
+                    escalate_caps=None, refine_fine_guard=None):
     import jax
 
     from fccf_pcr_tpu import make_register_fn, registration_errors
@@ -38,6 +38,15 @@ def evaluate_config(name, cfg, seeds, batch, rotation_gate=None,
     params, caps = model.params, model.caps
     if rotation_gate is not None:
         params = params.replace(fuse_rotation_gate_deg=rotation_gate)
+    if refine_fine_guard is not None:
+        params = params.replace(refine_fine_guard=refine_fine_guard)
+    if escalate_caps == "auto":
+        # per-config escalation partner: double every content-dependent
+        # envelope bound of THIS preset (the registry presets run tight
+        # lanes by design — see models/fccf.py tightcaps notes)
+        from fccf_pcr_tpu.models.auto import auto_escalation_caps
+
+        escalate_caps = auto_escalation_caps(caps)
 
     def run_seed_batches(seed_lists, stage_caps, timed):
         """Run batches of seeds at one capacity config; yields
@@ -161,10 +170,17 @@ def main():
         "0 = reference-faithful blind averaging)",
     )
     ap.add_argument(
+        "--refine-fine-guard", action="store_true", default=None,
+        help="set FCCFParams.refine_fine_guard=True (keep the better of "
+        "pre/post-refinement poses by fine score — targets the measured "
+        "hall-38-style refinement regression, docs/PARITY.md div. 8)",
+    )
+    ap.add_argument(
         "--escalate-caps", default=None, metavar="PRESET",
-        help="re-run capacity-flagged seeds under this registry preset "
-        "or 'large' (content-adaptive dual-capacity evaluation — lets "
-        "presets run tight while keeping the sweep clean)",
+        help="re-run capacity-flagged seeds under this registry preset, "
+        "or 'auto' to double each config's own envelope bounds "
+        "(content-adaptive dual-capacity evaluation — lets presets run "
+        "tight while keeping the sweep clean)",
     )
     args = ap.parse_args()
     if args.device == "cpu":
@@ -173,7 +189,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     esc = None
-    if args.escalate_caps:
+    if args.escalate_caps == "auto":
+        esc = "auto"  # resolved per config inside evaluate_config
+    elif args.escalate_caps:
         from fccf_pcr_tpu.cli import _caps_preset
 
         esc = _caps_preset(args.escalate_caps)
@@ -184,7 +202,8 @@ def main():
         batch = args.batch or cfg.get("batch", 8)
         r = evaluate_config(name, cfg, args.seeds, batch,
                             rotation_gate=args.fuse_rotation_gate,
-                            escalate_caps=esc)
+                            escalate_caps=esc,
+                            refine_fine_guard=args.refine_fine_guard)
         print(f"# {r}", file=sys.stderr)
         rows.append(r)
 

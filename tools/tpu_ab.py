@@ -79,27 +79,12 @@ STEPS = [
      "base/structured"),
     ("sched-s2j1/heritage", "heritage",
      {"FCCF_JUMP_ROUNDS": "1"}, "base/heritage"),
-    # ROADMAP item 7 follow-through: path-halving inside the kernel
-    # (VMEM-speed label[label]). Fails cleanly (recorded, session
-    # continues) if Mosaic won't lower the per-lane gather — run
-    # probe/gather's verdict against this step's outcome.
-    ("jump-inkernel/heritage", "heritage",
-     {"FCCF_JUMP_IN_KERNEL": "1"}, "base/heritage"),
-    ("jump-inkernel/structured", "structured",
-     {"FCCF_JUMP_IN_KERNEL": "1"}, "base/structured"),
-    # Pallas bitonic co-sort kernel vs lax.sort at small/mixed/large N
-    # (ops/pallas/sort.py). Every call site is a stable sort and the
-    # kernel's stable mode is bit-identical to lax.sort, so this knob
-    # cannot change outputs — adopt on throughput alone. Fails cleanly
-    # if Mosaic rejects a roll/compare shape.
-    ("sort-pallas/office", "office",
-     {"FCCF_SORT_IMPL": "pallas"}, "base/office"),
-    ("sort-pallas/structured", "structured",
-     {"FCCF_SORT_IMPL": "pallas"}, "base/structured"),
-    ("sort-pallas/heritage", "heritage",
-     {"FCCF_SORT_IMPL": "pallas"}, "base/heritage"),
-    ("sort-pallas/apartment", "apartment",
-     {"FCCF_SORT_IMPL": "pallas"}, "base/apartment"),
+    # (The jump-inkernel/* steps were removed round 4: probe/gather's
+    # verdict was negative — Mosaic lowers no 1D gather — and the
+    # FCCF_JUMP_IN_KERNEL path was deleted per that verdict.)
+    # (The sort-pallas/* steps were removed round 4 with the kernel:
+    # the standalone probe measured the bitonic network 2x SLOWER than
+    # lax.sort at the office 64k shape — see ops/sorting.py.)
     # E3 column-blocked cluster seed scan (exact; tested equal on CPU).
     ("colblock/structured", "structured",
      {"FCCF_SEED_COL_BLOCKED": "1"}, "base/structured"),
@@ -115,11 +100,9 @@ STEPS = [
      ["--caps-set", "max_matches=2048", "--caps-set", "max_hypotheses=2560"]),
     ("tightcaps/heritage", "heritage", {}, "base/heritage",
      ["--caps-set", "max_voxels=9216"]),
-    # Mosaic per-lane gather probe (ROADMAP item 8).
+    # Mosaic per-lane gather probe (ROADMAP item 8; verdict recorded:
+    # negative — kept for regression checks on new jax/Mosaic drops).
     ("probe/gather", None, {}, None),
-    # Standalone sort-kernel timing at bench shapes (fast iteration on
-    # ops/pallas/sort.py without full bench runs).
-    ("probe/sort", None, {}, None, ["tools/probe_sort.py"]),
 ]
 # normalize: optional 5th element = extra bench CLI args
 STEPS = [s if len(s) == 5 else (*s, []) for s in STEPS]
