@@ -137,7 +137,25 @@ def make_record(pairs_per_s, rre, rte, gate=(2.0, 0.3)):
     return record
 
 
-def run_config(name, cfg, emit_json, caps_overrides=()):
+def _coerce_like(cur, key, val, flag):
+    """Parse ``val`` to the type of the current field value ``cur``
+    (bool parsing is strict: a typo must not silently benchmark the
+    opposite configuration)."""
+    if isinstance(cur, bool):
+        v = val.strip().lower()
+        if v in ("1", "true", "yes", "on"):
+            return True
+        if v in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"{flag} {key}: not a boolean: {val!r}")
+    if isinstance(cur, int):
+        return int(val)
+    if isinstance(cur, float):
+        return float(val)
+    raise ValueError(f"{flag} {key}: unsupported field type {type(cur)}")
+
+
+def run_config(name, cfg, emit_json, caps_overrides=(), params_overrides=()):
     import jax
     import jax.numpy as jnp
 
@@ -154,20 +172,16 @@ def run_config(name, cfg, emit_json, caps_overrides=()):
     for ov in caps_overrides:
         key, _, val = ov.partition("=")
         cur = getattr(caps, key)  # raises on unknown field
-        if isinstance(cur, bool):
-            v = val.strip().lower()
-            if v in ("1", "true", "yes", "on"):
-                new = True
-            elif v in ("0", "false", "no", "off"):
-                new = False
-            else:  # a typo must not silently benchmark the opposite config
-                raise ValueError(f"--caps-set {key}: not a boolean: {val!r}")
-        else:
-            new = int(val)
-        caps = caps.replace(**{key: new})
-    if caps_overrides:
-        print(f"# [{name}] caps overrides: {list(caps_overrides)}",
-              file=sys.stderr)
+        caps = caps.replace(**{key: _coerce_like(cur, key, val, "--caps-set")})
+    for ov in params_overrides:
+        key, _, val = ov.partition("=")
+        cur = getattr(params, key)  # raises on unknown field
+        params = params.replace(
+            **{key: _coerce_like(cur, key, val, "--params-set")}
+        )
+    if caps_overrides or params_overrides:
+        print(f"# [{name}] overrides: caps={list(caps_overrides)} "
+              f"params={list(params_overrides)}", file=sys.stderr)
 
     t0 = time.time()
     if "sequence" in cfg:
@@ -347,16 +361,24 @@ def main():
              "--caps-set max_hypotheses=2048) — for on-chip capacity "
              "A/Bs without source edits; the accuracy gate still applies",
     )
+    ap.add_argument(
+        "--params-set", action="append", default=[], metavar="KEY=VALUE",
+        help="override an FCCFParams field of the selected preset (e.g. "
+             "--params-set refine_fine_guard=1) — for on-chip parameter "
+             "A/Bs without source edits; the accuracy gate still applies",
+    )
     args = ap.parse_args()
     _probe_backend()
     if args.config == "all":
         for name, cfg in CONFIGS.items():
             run_config(name, cfg, emit_json=(name == "office"),
-                       caps_overrides=args.caps_set)
+                       caps_overrides=args.caps_set,
+                       params_overrides=args.params_set)
     else:
         run_config(args.config, CONFIGS[args.config],
                    emit_json=(args.config == "office"),
-                   caps_overrides=args.caps_set)
+                   caps_overrides=args.caps_set,
+                   params_overrides=args.params_set)
 
 
 if __name__ == "__main__":

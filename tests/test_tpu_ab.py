@@ -20,13 +20,14 @@ import argparse, json, os, sys
 ap = argparse.ArgumentParser()
 ap.add_argument("--config")
 ap.add_argument("--caps-set", action="append", default=[])
+ap.add_argument("--params-set", action="append", default=[])
 a = ap.parse_args()
 if os.environ.get("FAKE_DOWN"):
     print(json.dumps({"metric": "m", "value": 0.0, "unit": "pairs/s",
                       "vs_baseline": 0.0, "error": "backend unreachable"}))
     raise SystemExit(3)
 v = 100.0 + 10.0 * bool(os.environ.get("FCCF_SEED_COL_BLOCKED")) \
-    - 5.0 * len(a.caps_set)
+    - 5.0 * len(a.caps_set) - 3.0 * len(a.params_set)
 rec = {"metric": "m", "value": v, "unit": "pairs/s", "vs_baseline": v / 15.2,
        "accuracy_ok": True}
 if a.config == "office":
@@ -81,27 +82,26 @@ def test_runner_loop_against_fake_bench(tmp_path):
     assert p.returncode == 3, p.stdout + p.stderr
     assert "ABORT" in p.stdout
 
-    # healthy: baseline + colblock + tightcaps office steps
-    p = runner("--only", "office")
+    # healthy: baseline + guard structured steps (the stderr-prefixed
+    # record format, since config != office)
+    p = runner("--only", "structured")
     assert p.returncode == 0, p.stdout + p.stderr
     recs = {}
     for line in results.read_text().splitlines():
         r = json.loads(line)
         recs[r["step"]] = r  # last record wins (abort retry included)
-    assert recs["base/office"]["record"]["value"] == 100.0
-    # env knob reached the subprocess
-    assert recs["colblock/office"]["record"]["value"] == 110.0
-    # --caps-set args reached the subprocess (two overrides -> -10)
-    assert recs["tightcaps/office"]["record"]["value"] == 90.0
-    assert recs["tightcaps/office"]["args"] == [
-        "--caps-set", "max_matches=2048", "--caps-set", "max_hypotheses=2048",
+    assert recs["base/structured"]["record"]["value"] == 100.0
+    # --params-set args reached the subprocess (one override -> -3)
+    assert recs["guard/structured"]["record"]["value"] == 97.0
+    assert recs["guard/structured"]["args"] == [
+        "--params-set", "refine_fine_guard=1",
     ]
     # report shows the delta vs the in-session baseline
     p = runner("--report")
-    assert "+10.0%" in p.stdout and "-10.0%" in p.stdout, p.stdout
+    assert "-3.0%" in p.stdout, p.stdout
 
     # resume: everything already measured -> nothing to do
-    p = runner("--only", "office")
+    p = runner("--only", "structured")
     assert "nothing to do" in p.stdout
 
 

@@ -44,9 +44,20 @@ STEP_TIMEOUT_S = int(os.environ.get("FCCF_TPU_AB_TIMEOUT_S", "1500"))
 # (name, bench config | None, env overrides, baseline step | None).
 # Order matters: baselines run first so every A/B compares within-session
 # numbers (tunnel conditions drift across sessions).
+# ROUND-4 SESSION PLAN. The round-3 variant grid is RESOLVED (records
+# archived in tpu_ab_results_r3.jsonl; see the round-4 report there):
+#   kth-bsearch   lost (-0.1/-8.0/-5.1%)      -> cost model confirmed
+#   stat-scatter  within noise (+0.7/+0.7%)   -> default stays off
+#   sched-s4j0    lost (-2.0/-6.7%)           -> J=0 rejected
+#   sched-s2j1    won (+4.0% heritage)        -> J=1 is now the default
+#   colblock      lost (-4.7/-1.0%)           -> knob stays off
+#   tightcaps     won (+9.6/+19.8/+5.9%)      -> now the preset defaults
+#   jump-inkernel never compiled (no 1D gather) -> path deleted
+#   sort-pallas   2x slower than lax.sort     -> kernel deleted
 STEPS = [
-    # Fresh per-config baselines — these double as the stale re-bench of
-    # the late-round-3 V-adaptive j-chunk tiling change (ROADMAP item 6).
+    # Fresh per-config baselines under the adopted round-4 defaults
+    # (tight caps in the presets, label-prop J=1) — this IS the re-bench
+    # that retires the PERFORMANCE.md staleness note.
     ("base/office", "office", {}, None),
     ("base/apartment", "apartment", {}, None),
     ("base/cross-season", "cross-season", {}, None),
@@ -54,54 +65,15 @@ STEPS = [
     ("base/structured", "structured", {}, None),
     ("base/resso", "resso", {}, None),
     ("base/heritage", "heritage", {}, None),
-    # E4 boundary-table impl: the cost model auto-selects "scatter" for
-    # these three; force "bsearch" to confirm (office/apartment already
-    # auto-select bsearch — nothing to measure there).
-    ("kth-bsearch/structured", "structured",
-     {"FCCF_KTH_IMPL": "bsearch"}, "base/structured"),
-    ("kth-bsearch/resso", "resso",
-     {"FCCF_KTH_IMPL": "bsearch"}, "base/resso"),
-    ("kth-bsearch/heritage", "heritage",
-     {"FCCF_KTH_IMPL": "bsearch"}, "base/heritage"),
-    # E2 face-stats scatter for building-scale V (accuracy-affecting:
-    # needs the evaluate.py spot-check before adopting).
-    ("stat-scatter/heritage", "heritage",
-     {"FCCF_SCATTER_STATS_MIN_V": "8192"}, "base/heritage"),
-    ("stat-scatter/resso", "resso",
-     {"FCCF_SCATTER_STATS_MIN_V": "8192"}, "base/resso"),
-    # E1 label-prop sweep schedule (any schedule is exact; convergence
-    # sims say calls are schedule-invariant, so this measures overhead).
-    ("sched-s4j0/heritage", "heritage",
-     {"FCCF_SWEEPS_PER_CALL": "4", "FCCF_JUMP_ROUNDS": "0"},
-     "base/heritage"),
-    ("sched-s4j0/structured", "structured",
-     {"FCCF_SWEEPS_PER_CALL": "4", "FCCF_JUMP_ROUNDS": "0"},
-     "base/structured"),
-    ("sched-s2j1/heritage", "heritage",
-     {"FCCF_JUMP_ROUNDS": "1"}, "base/heritage"),
-    # (The jump-inkernel/* steps were removed round 4: probe/gather's
-    # verdict was negative — Mosaic lowers no 1D gather — and the
-    # FCCF_JUMP_IN_KERNEL path was deleted per that verdict.)
-    # (The sort-pallas/* steps were removed round 4 with the kernel:
-    # the standalone probe measured the bitonic network 2x SLOWER than
-    # lax.sort at the office 64k shape — see ops/sorting.py.)
-    # E3 column-blocked cluster seed scan (exact; tested equal on CPU).
-    ("colblock/structured", "structured",
-     {"FCCF_SEED_COL_BLOCKED": "1"}, "base/structured"),
-    ("colblock/office", "office",
-     {"FCCF_SEED_COL_BLOCKED": "1"}, "base/office"),
-    # E5 capacity retunes (bench --caps-set; the accuracy gate still
-    # applies, and adopting an under-policy bound as a preset default
-    # requires pairing it with sweep-level escalation — see
-    # run_sweep(escalate_caps=...)).
-    ("tightcaps/office", "office", {}, "base/office",
-     ["--caps-set", "max_matches=2048", "--caps-set", "max_hypotheses=2048"]),
-    ("tightcaps/cross-season", "cross-season", {}, "base/cross-season",
-     ["--caps-set", "max_matches=2048", "--caps-set", "max_hypotheses=2560"]),
-    ("tightcaps/heritage", "heritage", {}, "base/heritage",
-     ["--caps-set", "max_voxels=9216"]),
+    # refine_fine_guard throughput cost (its accuracy effect is measured
+    # separately via tools/evaluate.py --refine-fine-guard; this step
+    # prices the extra 3K fine-verify evaluations per pair).
+    ("guard/structured", "structured", {},
+     "base/structured", ["--params-set", "refine_fine_guard=1"]),
+    ("guard/heritage", "heritage", {},
+     "base/heritage", ["--params-set", "refine_fine_guard=1"]),
     # Mosaic per-lane gather probe (ROADMAP item 8; verdict recorded:
-    # negative — kept for regression checks on new jax/Mosaic drops).
+    # negative — kept as a regression probe for new jax/Mosaic drops).
     ("probe/gather", None, {}, None),
 ]
 # normalize: optional 5th element = extra bench CLI args
