@@ -26,3 +26,23 @@ def test_evaluate_flags_raw_truncation():
     assert r["nonzero_status"] == 2
     assert all(st & 1 for st in r["flagged_seeds"].values())
     assert r["n_escalated"] == 0  # no escalate_caps given
+
+
+def test_evaluate_escalate_caps_auto():
+    """escalate_caps='auto' resolves to auto_escalation_caps(model.caps)
+    per config and re-runs exactly the flagged seeds. With raw
+    truncation (a host-side load limit auto-escalation deliberately does
+    NOT raise — the cloud cannot grow, the cap is exact), the re-run
+    happens but the flag persists: n_escalated counts the attempt, the
+    status keeps the truth."""
+    from tools.evaluate import evaluate_config
+
+    cfg = dict(
+        model="tiny",
+        scene=dict(points_per_plane=1500, clutter_points=900),
+        pair=dict(),
+    )
+    r = evaluate_config("raw-trunc-esc", cfg, seeds=2, batch=2,
+                        escalate_caps="auto")
+    assert r["n_escalated"] == 2
+    assert all(st & 1 for st in r["flagged_seeds"].values())
