@@ -100,6 +100,16 @@ class FCCFParams:
     # poses and the higher-fine-score pose proceeds to selection/fusion
     # (ties keep the refined pose). Costs one extra fine-verify batch.
     refine_fine_guard: bool = False
+    # Relative fine-score margin the PRE-refinement pose must clear to be
+    # kept by the guard: pick pre iff pre > post * (1 + margin). At the
+    # 0.5 m fine voxel the score cannot discriminate translation deltas
+    # below ~0.2 m, so a zero margin trades LM's millimetre translation
+    # polish away on noise-level score ties — measured on the structured
+    # 40-seed sweep: margin 0 improved RRE (0.457 -> 0.387 mean) but
+    # regressed RTE p95 0.110 -> 0.156 m. A margin keeps only DECISIVE
+    # basin disagreements (hall-38's was 57%). Only read when
+    # refine_fine_guard is True.
+    refine_fine_guard_margin: float = 0.0
 
     def replace(self, **kw) -> "FCCFParams":
         return dataclasses.replace(self, **kw)

@@ -193,7 +193,11 @@ def _register_pair_impl(
             )
             fs_both, fa_both = fv(both)
             post, pre = fs_both[: 3 * K], fs_both[3 * K :]
-            pick_pre = (pre > post).reshape(3, K)
+            # margin: only a DECISIVE pre-refine win overrides LM's pose
+            # (see FCCFParams.refine_fine_guard_margin — zero-margin flips
+            # on noise-level score ties measurably cost translation polish)
+            margin = 1.0 + params.refine_fine_guard_margin
+            pick_pre = (pre > post * margin).reshape(3, K)
             top_T = jnp.where(pick_pre[..., None, None], top_T0, top_T)
             fscore_flat = jnp.where(pick_pre.reshape(-1), pre, post)
             # the alias flag derives from the STATIC source table alone

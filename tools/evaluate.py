@@ -18,7 +18,8 @@ import numpy as np
 
 
 def evaluate_config(name, cfg, seeds, batch, rotation_gate=None,
-                    escalate_caps=None, refine_fine_guard=None):
+                    escalate_caps=None, refine_fine_guard=None,
+                    guard_margin=None, params_set=()):
     import jax
 
     from fccf_pcr_tpu import make_register_fn, registration_errors
@@ -40,6 +41,15 @@ def evaluate_config(name, cfg, seeds, batch, rotation_gate=None,
         params = params.replace(fuse_rotation_gate_deg=rotation_gate)
     if refine_fine_guard is not None:
         params = params.replace(refine_fine_guard=refine_fine_guard)
+    if guard_margin is not None:
+        params = params.replace(refine_fine_guard=True,
+                                refine_fine_guard_margin=guard_margin)
+    for ov in params_set:  # generic FCCFParams override, same as bench.py
+        key, _, val = ov.partition("=")
+        cur = getattr(params, key)  # raises on unknown field
+        params = params.replace(
+            **{key: bench._coerce_like(cur, key, val, "--set")}
+        )
     if escalate_caps == "auto":
         # per-config escalation partner: double every content-dependent
         # envelope bound of THIS preset (the registry presets run tight
@@ -151,6 +161,13 @@ def evaluate_config(name, cfg, seeds, batch, rotation_gate=None,
         },
         "pairs_per_s": (n_timed / t_total) if t_total > 0 else None,
         "n_escalated": n_escalated,
+        # per-seed rows for tail attribution (--dump-seeds): which seeds
+        # drive p95, and whether a variant helps exactly those seeds
+        "seed_rows": {
+            int(s): {"rre": rows[s][0], "rte": rows[s][1],
+                     "status": rows[s][2]}
+            for s in range(seeds)
+        },
     }
 
 
@@ -174,6 +191,23 @@ def main():
         help="set FCCFParams.refine_fine_guard=True (keep the better of "
         "pre/post-refinement poses by fine score — targets the measured "
         "hall-38-style refinement regression, docs/PARITY.md div. 8)",
+    )
+    ap.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        dest="params_set",
+        help="override any FCCFParams field for the sweep (repeatable; "
+        "same contract as bench.py --params-set)",
+    )
+    ap.add_argument(
+        "--guard-margin", type=float, default=None, metavar="FRAC",
+        help="enable refine_fine_guard with this relative fine-score "
+        "margin (pick the pre-refine pose only when its fine score beats "
+        "the refined pose's by more than FRAC, e.g. 0.05)",
+    )
+    ap.add_argument(
+        "--dump-seeds", default=None, metavar="FILE",
+        help="append one JSON line per config with the per-seed "
+        "rre/rte/status rows (tail attribution across variants)",
     )
     ap.add_argument(
         "--escalate-caps", default=None, metavar="PRESET",
@@ -203,8 +237,23 @@ def main():
         r = evaluate_config(name, cfg, args.seeds, batch,
                             rotation_gate=args.fuse_rotation_gate,
                             escalate_caps=esc,
-                            refine_fine_guard=args.refine_fine_guard)
-        print(f"# {r}", file=sys.stderr)
+                            refine_fine_guard=args.refine_fine_guard,
+                            guard_margin=args.guard_margin,
+                            params_set=args.params_set)
+        if args.dump_seeds:
+            import json
+
+            with open(args.dump_seeds, "a") as f:
+                f.write(json.dumps({
+                    "config": name,
+                    "guard": bool(args.refine_fine_guard
+                                  or args.guard_margin is not None),
+                    "guard_margin": args.guard_margin,
+                    "params_set": args.params_set,
+                    "seed_rows": r["seed_rows"],
+                }) + "\n")
+        summary = {k: v for k, v in r.items() if k != "seed_rows"}
+        print(f"# {summary}", file=sys.stderr)
         rows.append(r)
 
     print("| config | pairs | success | RRE mean/med/p95 (deg) | "
