@@ -16,7 +16,10 @@ import dataclasses
 
 @dataclasses.dataclass(frozen=True)
 class FCCFParams:
-    """Algorithm parameters. Defaults are bit-identical to the reference.
+    """Algorithm parameters. Defaults are bit-identical to the reference
+    except ``curvature_threshold`` (see the field comment: a measured,
+    intentional accuracy divergence; ``--set curvature_threshold=0.05``
+    restores the reference value).
 
     Field-by-field provenance (reference ``FCCF.cpp`` line numbers):
       l1/l2/k1/k2            :126-129   plane-fusion coplanarity params
@@ -49,7 +52,25 @@ class FCCFParams:
     normal_thresh2: float = 8.0
     face_voxel_size: float = 1.0
     voxel_point_threshold: int = 5
-    curvature_threshold: float = 0.05
+    # Plane-fit curvature gate (lambda_min / trace of the per-voxel
+    # covariance). The reference uses 0.05 (FCCF.cpp:138); that is far too
+    # loose for voxels straddling plane junctions: on the stairs family
+    # 44/205 gated voxels carried normals >1 deg off their plane at median
+    # curvature 0.017 (count-weighted mean normal error 2.5 deg), biasing
+    # every downstream face normal. Junction voxels and clean single-plane
+    # voxels are separated by ~two orders of magnitude in curvature
+    # (~0.017 vs ~1e-4), so 0.005 removes the contaminated voxels while
+    # keeping 80% of the population (weighted normal error 2.53 -> 0.074
+    # deg). Measured on-chip over the full 6-family x 40-seed sweep
+    # (240/240 success, zero flagged, throughput unchanged,
+    # docs/EVALUATION.md): RRE mean improved on every family — structured
+    # 0.457 -> 0.053 deg (p95 1.060 -> 0.112), office 0.068 -> 0.023,
+    # apartment 0.118 -> 0.016 — and RTE improved ~2-3x everywhere. The
+    # NumPy twin (reference semantics) improves identically, so this is an
+    # algorithm-level parameter fix, not an implementation artifact.
+    # Documented as PARITY.md divergence 9; set 0.05 to restore the
+    # reference default.
+    curvature_threshold: float = 0.005
     select_plane_number: int = 15
     qv_angle: float = 10.0
     qv_dist: float = 2.0

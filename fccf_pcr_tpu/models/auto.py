@@ -23,13 +23,16 @@ import numpy as np
 
 from ..config import Capacities, FCCFParams
 
-# Observed content ratios across the six measured scene families
-# (tools/measure_content.py numbers recorded in models/fccf.py):
-#   residual / downsampled points: 0.09 (resso) .. 0.38 (apartment)
-#   fine voxels / residual:        0.02 (apartment) .. 0.63 (heritage)
-# The envelopes below cover the observed maxima with >= 1.4x headroom.
-_RESIDUAL_PER_DOWN = 0.55
-_FINE_PER_RESIDUAL = 0.80
+# Observed content ratios across the six measured scene families at the
+# 0.005 curvature default (tools/measure_content.py numbers recorded in
+# models/fccf.py; the tighter gate routes more points to the residual
+# cloud, so these were re-measured with it):
+#   residual / downsampled points: 0.10 (resso) .. 0.51 (apartment)
+#   fine voxels / residual:        0.02 (apartment) .. 0.44 (heritage)
+# The envelopes below cover the observed maxima; auto_caps multiplies
+# them by the policy headroom (1.4x default) on top.
+_RESIDUAL_PER_DOWN = 0.52
+_FINE_PER_RESIDUAL = 0.45
 
 
 def _ceil_to(x: float, q: int) -> int:
@@ -113,14 +116,15 @@ def auto_caps(clouds, params: FCCFParams, headroom: float = 1.4) -> Capacities:
         # ops/pallas/label_prop._block_sizes needs 128 | V and 512 | V)
         max_voxels=max(512, _ceil_to(n_fvox * headroom, 512)),
         # base matching / hypothesis fan-out has no cheap host-side
-        # predictor (measured families span 960..4177 hypotheses
-        # regardless of V); use the family envelope, flag + escalate past
+        # predictor (measured families span 183..7570 hypotheses
+        # regardless of V — the structured hall family peaks under the
+        # 0.005 curvature gate); use the family envelope, flag + escalate
         max_matches=4096,
-        max_hypotheses=6144,
+        max_hypotheses=8192,
         max_reps=256,
-        max_clusters=4096,
+        max_clusters=6144,
         max_residual=max_residual,
-        # heritage-density scenes reach fine/residual = 0.63
+        # heritage-density scenes reach fine/residual = 0.44
         max_fine_voxels=max(2048, _ceil_to(max_residual * _FINE_PER_RESIDUAL, 1024)),
         # colonnade-style parallel-plane fan-out measured up to 30
         # third-plane hits/match (models/fccf.py heritage notes)

@@ -47,14 +47,15 @@ class FCCFModel:
 # capacity (the hot pipeline's sort volume); max_raw_points is the
 # raw-load capacity consumed by the untimed CLI-level first VoxelGrid
 # pass (pre_downsample).
-_STANDARD_CAPS = Capacities(      # office: raw<=124k, down<=61k, vox<=1019,
-    max_points=1 << 16,           #   match<=1610, hyp<=1954, res<=18.6k,
-    max_raw_points=1 << 17,       #   fine<=1408, span<=30 cells
-    max_voxels=1536,              # (8 bench seeds, tools/measure_content.py)
-    # match/hyp lanes run TIGHT (1.27x/1.05x over the bench-seed maxima,
-    # under the 1.4x envelope policy): the round-3 on-chip A/B measured
-    # +9.6% pairs/s (tightcaps/office, tpu_ab_results.jsonl) with
-    # bit-identical accuracy. Tight lanes are policy-legal only because
+_STANDARD_CAPS = Capacities(      # office at the 0.005 curvature default
+    max_points=1 << 16,           # (8 bench seeds, measure_content.py):
+    max_raw_points=1 << 17,       #   raw<=124k, down<=60.5k, vox<=1019,
+    max_voxels=1536,              #   match<=939, hyp<=1236, res<=19.2k,
+    # match/hyp lanes run TIGHT over the bench-seed maxima (the round-3
+    # on-chip A/B measured +9.6% pairs/s, tightcaps/office,
+    # tpu_ab_results.jsonl, bit-identical accuracy); the tight gate
+    # SHRANK office match/hyp content (~40%), so the same lanes now carry
+    # 2.2x/1.7x headroom. Tight lanes are policy-legal only because
     # overflow raises a status bit and sweep drivers re-run flagged pairs
     # at auto_escalation_caps (evaluate.py --escalate-caps auto).
     max_matches=2048,
@@ -68,50 +69,57 @@ _STANDARD_CAPS = Capacities(      # office: raw<=124k, down<=61k, vox<=1019,
     max_fine_voxels=2048,
 )
 
-_DENSE_CAPS = dataclasses.replace(  # apartment: raw<=248k, down<=122k,
-    _STANDARD_CAPS,                 #   vox<=482, hyp>2048 on some scenes
-    max_points=1 << 17,             #   (seed-3 clipped at 2048),
-    max_raw_points=1 << 18,         #   res<=46.5k, fine<=1016
-    max_voxels=1024,
+_DENSE_CAPS = dataclasses.replace(  # apartment at the 0.005 gate:
+    _STANDARD_CAPS,                 #   raw<=248k, down<=122k, vox<=482,
+    max_points=1 << 17,             #   match<=829, hyp<=1015, res<=62.0k
+    max_raw_points=1 << 18,         #   (1.06x under the 65536 cap — 40
+    max_voxels=1024,                #   eval seeds pass unescalated),
+                                    #   fine<=1328
     max_hypotheses=4096,
     max_residual=1 << 16,
     max_fine_voxels=2048,
 )
 
-_STRUCTURED_CAPS = dataclasses.replace(  # stairs: raw<=112k, down<=31.2k,
-    _STANDARD_CAPS,                      #   vox<=260, hyp<=925, res<=8.3k,
-    max_points=98304,                    #   fine<=386, <=12 hits/match
-    max_raw_points=147456,               # hall: raw<=132k, down<=91.4k,
-    max_voxels=4096,                     #   vox<=2856, hyp<=4177,
-    max_matches=4096,                    #   res<=19.7k, fine<=2578,
-    max_hypotheses=6144,                 #   <=11 hits/match
-    max_clusters=4096,                   # (8 seeds x 2 clouds per family,
-    max_residual=28672,                  #  tools/measure_content.py;
-    max_fine_voxels=4096,                #  res cap = 1.45x over 19.7k;
-)                                        #  fine cap = 1.59x over 2578)
-
-_OUTDOOR_CAPS = dataclasses.replace(  # cross-season (TPU path, 40 eval
-    _STANDARD_CAPS,                   #   seeds): raw<=102k, down<=57k,
-    max_raw_points=1 << 18,           #   vox<=1023, match<=1662, hyp<=2238
-    # tight lanes (1.23x/1.14x over the 40-seed eval maxima): the round-3
-    # A/B measured +19.8% pairs/s (tightcaps/cross-season) at identical
-    # accuracy; escalation covers the tail (see _STANDARD_CAPS note).
-    # eval seed 6's hyp=2238 exceeded an earlier 2048 cap, hence 2560.
-    max_matches=2048,
-    max_hypotheses=2560,
-    max_residual=28672,               # res 1.43x over eval max
-    max_fine_voxels=2048,
+_STRUCTURED_CAPS = dataclasses.replace(  # measured at the 0.005 curvature
+    _STANDARD_CAPS,                      # default (8 bench seeds/family,
+    max_points=98304,                    # tools/measure_content.py):
+    max_raw_points=147456,               # stairs: raw<=112k, down<=31k,
+    max_voxels=4096,                     #   vox<=257, hyp<=472, res<=14.6k
+    max_matches=4096,                    # hall: raw<=132k, down<=91.4k,
+    max_hypotheses=8192,                 #   vox<=2820, match<=3525,
+    max_clusters=6144,                   #   hyp<=7570, seeds<=4315,
+    max_residual=28672,                  #   res<=26.8k, fine<=2964,
+    max_fine_voxels=4096,                #   <=13 hits/match.
+    # The cleaner normals of the tight curvature gate nearly DOUBLE the
+    # hall family's match/hypothesis content (more bases clear the angle
+    # gates): hyp 4177 -> 7570, seeds -> 4315, which overflowed the old
+    # 6144/4096 lanes (9/40 eval seeds escalated). match/res lanes stay
+    # tight (1.16x/1.07x over bench maxima; sort volume is what costs) —
+    # sweeps pair them with --escalate-caps auto like every tight lane.
 )
 
-_RESSO_CAPS = Capacities(   # facade family (tools/measure_content.py over
-    max_points=73728,       #   the 8 bench seeds): raw<=73.0k, down<=68.9k,
-    max_raw_points=81920,   #   vox<=6613, match<=1052 (seed 5; TPU f32 face
-    max_voxels=9216,        #   tie-flips can shift counts further, so 2x
-    max_matches=2048,       #   headroom), hyp<=1092, <=5 hits/match,
-    max_hypotheses=2048,    #   res<=6.5k, fine<=1802, span<=120 cells
-    max_reps=256,
+_OUTDOOR_CAPS = dataclasses.replace(  # cross-season at the 0.005 gate
+    _STANDARD_CAPS,                   #   (8 bench seeds): raw<=102k,
+    max_raw_points=1 << 18,           #   down<=57k, vox<=1042, match<=929,
+    # tight lanes (round-3 A/B: +19.8% pairs/s, tightcaps/cross-season,
+    # identical accuracy); the tight gate nearly HALVED match/hyp content
+    # here (hyp 2238 -> 1106 max), so the 2048/2560 lanes now carry ~2x
+    # headroom; escalation covers any eval tail (see _STANDARD_CAPS note).
+    max_matches=2048,
+    max_hypotheses=2560,
+    max_residual=28672,               # res<=22.2k (1.29x under the cap)
+    max_fine_voxels=2048,             # fine<=1476
+)
+
+_RESSO_CAPS = Capacities(   # facade family at the 0.005 gate (8 bench
+    max_points=73728,       #   seeds, measure_content.py): raw<=73.0k,
+    max_raw_points=81920,   #   down<=68.9k, vox<=6639, match<=1132 (TPU
+    max_voxels=9216,        #   f32 face tie-flips can shift counts
+    max_matches=2048,       #   further, so ~2x headroom), hyp<=1273,
+    max_hypotheses=2048,    #   <=6 hits/match, res<=6.9k, fine<=1226,
+    max_reps=256,           #   span<=118 cells
     max_clusters=1024,
-    max_residual=10240,     # 1.57x over the 6.5k measured max
+    max_residual=10240,     # 1.49x over the 6.9k measured max
     max_fine_voxels=4096,
     wide_extent=True,       # RESSO blocks can span past the ~127 m
 )                           #   single-key budget (leaf 0.1 / face 1.0)
@@ -123,14 +131,14 @@ _HERITAGE_CAPS = Capacities(  # courtyard family (measure_content, 8
     # work scales with this cap): round-3 A/B +5.9% (tightcaps/heritage)
     # at identical accuracy; overflow is flagged + escalated like every
     # other bound. V must stay a multiple of 1024 for the Pallas j-chunk.
-    max_voxels=9216,          #   hyp<=1299, seeds<=954, res<=36.5k (40-
-    max_matches=2048,         #   seed eval max; 30.5k on the bench
-    max_hypotheses=3072,      #   seeds), fine<=22.9k, span<=281 cells
-    max_reps=256,             #   (0.5 m fine voxel, no aliasing).
+    max_voxels=9216,          #   match<=1748, hyp<=2599, seeds<=1992,
+    max_matches=2048,         #   res<=34.9k (36.5k 40-seed eval max at
+    max_hypotheses=3072,      #   the old gate), fine<=15.2k, span<=283
+    max_reps=256,             #   cells (0.5 m fine voxel, no aliasing).
     max_clusters=2048,        # Colonnade parallel-plane fan-out reaches
     max_residual=53248,       #   30 third-plane hits on one match (eval
-    per_match_hits=48,        #   seed 38, TPU face path) — cap 48 (1.6x).
-    max_fine_voxels=1 << 15,  # res 1.46x over the observed maximum
+    per_match_hits=48,        #   seed 38, old gate; 17 at 0.005) — 48.
+    max_fine_voxels=1 << 15,  # res 1.53x over the bench maximum
     wide_extent=True,
 )
 
