@@ -53,7 +53,7 @@ _STANDARD_CAPS = Capacities(      # office at the 0.005 curvature default
     max_voxels=1536,              #   match<=939, hyp<=1236, res<=19.2k,
     # match/hyp lanes run TIGHT over the bench-seed maxima (the round-3
     # on-chip A/B measured +9.6% pairs/s, tightcaps/office,
-    # tpu_ab_results.jsonl, bit-identical accuracy); the tight gate
+    # tpu_ab_results_r4a.jsonl, bit-identical accuracy); the tight gate
     # SHRANK office match/hyp content (~40%), so the same lanes now carry
     # 2.2x/1.7x headroom. Tight lanes are policy-legal only because
     # overflow raises a status bit and sweep drivers re-run flagged pairs

@@ -55,9 +55,12 @@ STEP_TIMEOUT_S = int(os.environ.get("FCCF_TPU_AB_TIMEOUT_S", "1500"))
 #   jump-inkernel never compiled (no 1D gather) -> path deleted
 #   sort-pallas   2x slower than lax.sort     -> kernel deleted
 STEPS = [
-    # Fresh per-config baselines under the adopted round-4 defaults
-    # (tight caps in the presets, label-prop J=1) — this IS the re-bench
-    # that retires the PERFORMANCE.md staleness note.
+    # ROUND-4b SESSION (post-curvature-gate adoption; the round-4a grid —
+    # guard pricing, gather probe, first tightcaps — is archived in
+    # tpu_ab_results_r4a.jsonl). Fresh per-config baselines under the
+    # 0.005 curvature default + the retuned structured lanes (8192 hyp /
+    # 6144 clusters): this is the re-bench that refreshes the
+    # PERFORMANCE.md config table via tools/update_perf_table.py.
     ("base/office", "office", {}, None),
     ("base/apartment", "apartment", {}, None),
     ("base/cross-season", "cross-season", {}, None),
@@ -65,16 +68,20 @@ STEPS = [
     ("base/structured", "structured", {}, None),
     ("base/resso", "resso", {}, None),
     ("base/heritage", "heritage", {}, None),
-    # refine_fine_guard throughput cost (its accuracy effect is measured
-    # separately via tools/evaluate.py --refine-fine-guard; this step
-    # prices the extra 3K fine-verify evaluations per pair).
-    ("guard/structured", "structured", {},
-     "base/structured", ["--params-set", "refine_fine_guard=1"]),
-    ("guard/heritage", "heritage", {},
-     "base/heritage", ["--params-set", "refine_fine_guard=1"]),
-    # Mosaic per-lane gather probe (ROADMAP item 8; verdict recorded:
-    # negative — kept as a regression probe for new jax/Mosaic drops).
-    ("probe/gather", None, {}, None),
+    # Tight-lane probes opened up by the 0.005 gate's content shrink
+    # (match/hyp content fell ~40-50% on the indoor/outdoor families —
+    # measured maxima in models/fccf.py comments). Adoption rule as ever:
+    # >2% pairs/s with accuracy_ok and clean statuses.
+    ("tight/apartment-hyp2048", "apartment", {},
+     "base/apartment", ["--caps-set", "max_hypotheses=2048"]),
+    ("tight/cross-hyp2048", "cross-season", {},
+     "base/cross-season", ["--caps-set", "max_hypotheses=2048"]),
+    ("tight/office-match1024", "office", {},
+     "base/office", ["--caps-set", "max_matches=1024"]),
+    ("tight/resso-lanes1536", "resso", {},
+     "base/resso",
+     ["--caps-set", "max_hypotheses=1536", "--caps-set",
+      "max_matches=1536"]),
 ]
 # normalize: optional 5th element = extra bench CLI args
 STEPS = [s if len(s) == 5 else (*s, []) for s in STEPS]
