@@ -26,6 +26,12 @@ if os.environ.get("FAKE_DOWN"):
     print(json.dumps({"metric": "m", "value": 0.0, "unit": "pairs/s",
                       "vs_baseline": 0.0, "error": "backend unreachable"}))
     raise SystemExit(3)
+if os.environ.get("FAKE_SIGABRT"):
+    # the axon-client failure mode: infra record printed, then the
+    # process dies with a NON-fail-fast exit code (observed -6/SIGABRT)
+    print(json.dumps({"metric": "m", "value": 0.0, "unit": "pairs/s",
+                      "vs_baseline": 0.0, "error": "backend unreachable"}))
+    raise SystemExit(134)
 v = 100.0 + 10.0 * bool(os.environ.get("FCCF_SEED_COL_BLOCKED")) \
     - 5.0 * len(a.caps_set) - 3.0 * len(a.params_set)
 rec = {"metric": "m", "value": v, "unit": "pairs/s", "vs_baseline": v / 15.2,
@@ -57,17 +63,31 @@ def test_step_done_logic():
     assert not step_done({"exit_code": 1}, None)
 
 
+# The loop test pins its OWN step plan (FCCF_TPU_AB_PLAN) so it exercises
+# the runner mechanics without depending on the live session plan, which
+# is restaged every measurement round.
+TEST_PLAN = [
+    ["base/office", "office", {}, None, []],
+    ["base/structured", "structured", {}, None, []],
+    ["guard/structured", "structured", {}, "base/structured",
+     ["--params-set", "refine_fine_guard=1"]],
+]
+
+
 @pytest.mark.slow
 def test_runner_loop_against_fake_bench(tmp_path):
     """End-to-end: run a filtered step set against a fake bench, check the
     JSONL, the resume skip, the env/args plumbing, and the abort path."""
     fake = tmp_path / "fake_bench.py"
     fake.write_text(FAKE_BENCH)
+    plan = tmp_path / "plan.json"
+    plan.write_text(json.dumps(TEST_PLAN))
     results = tmp_path / "results.jsonl"
     env = {
         **os.environ,
         "FCCF_TPU_AB_RESULTS": str(results),
         "FCCF_TPU_AB_BENCH": str(fake),
+        "FCCF_TPU_AB_PLAN": str(plan),
     }
 
     def runner(*args, extra_env=None):
@@ -106,6 +126,36 @@ def test_runner_loop_against_fake_bench(tmp_path):
 
 
 @pytest.mark.slow
+def test_runner_aborts_after_consecutive_infra_failures(tmp_path):
+    """Tunnel outages are time-correlated: when bench dies with a
+    non-fail-fast exit code after printing the infra record (the observed
+    axon SIGABRT mode), two in a row must abort the pass instead of
+    burning the full probe timeout on every remaining step. The failed
+    steps stay not-done for resume."""
+    fake = tmp_path / "fake_bench.py"
+    fake.write_text(FAKE_BENCH)
+    plan = tmp_path / "plan.json"
+    plan.write_text(json.dumps(TEST_PLAN))
+    results = tmp_path / "results.jsonl"
+    p = subprocess.run(
+        [sys.executable, os.path.join("tools", "tpu_ab.py")],
+        cwd=REPO,
+        env={**os.environ,
+             "FCCF_TPU_AB_RESULTS": str(results),
+             "FCCF_TPU_AB_BENCH": str(fake),
+             "FCCF_TPU_AB_PLAN": str(plan),
+             "FAKE_SIGABRT": "1"},
+        capture_output=True, text=True, timeout=120,
+    )
+    assert p.returncode == 3, p.stdout + p.stderr
+    assert "consecutive infra-failure" in p.stdout
+    recs = [json.loads(l) for l in results.read_text().splitlines()]
+    assert len(recs) == 2  # third step never attempted
+    from tools.tpu_ab import step_done
+    assert all(not step_done(r, r["config"]) for r in recs)  # all retryable
+
+
+@pytest.mark.slow
 def test_runner_aborts_on_step_timeout(tmp_path):
     """A step that hits the hard timeout with no record aborts the whole
     session (tunnel-down = python hangs at interpreter boot, so every
@@ -113,6 +163,8 @@ def test_runner_aborts_on_step_timeout(tmp_path):
     not-done for resume."""
     fake = tmp_path / "hang_bench.py"
     fake.write_text("import time\ntime.sleep(60)\n")
+    plan = tmp_path / "plan.json"
+    plan.write_text(json.dumps(TEST_PLAN))
     results = tmp_path / "results.jsonl"
     p = subprocess.run(
         [sys.executable, os.path.join("tools", "tpu_ab.py"),
@@ -121,6 +173,7 @@ def test_runner_aborts_on_step_timeout(tmp_path):
         env={**os.environ,
              "FCCF_TPU_AB_RESULTS": str(results),
              "FCCF_TPU_AB_BENCH": str(fake),
+             "FCCF_TPU_AB_PLAN": str(plan),
              "FCCF_TPU_AB_TIMEOUT_S": "3"},
         capture_output=True, text=True, timeout=120,
     )

@@ -86,6 +86,15 @@ STEPS = [
 # normalize: optional 5th element = extra bench CLI args
 STEPS = [s if len(s) == 5 else (*s, []) for s in STEPS]
 
+# The integration test (tests/test_tpu_ab.py) injects its own plan so it
+# exercises the runner loop without depending on the live session plan
+# (which changes every measurement round): a JSON file of
+# [name, config, env, baseline, extra_args] entries.
+if os.environ.get("FCCF_TPU_AB_PLAN"):
+    with open(os.environ["FCCF_TPU_AB_PLAN"]) as _f:
+        STEPS = [tuple(s) if len(s) == 5 else (*s, [])
+                 for s in json.load(_f)]
+
 
 def load_results(path=RESULTS):
     done = {}
@@ -179,6 +188,7 @@ def cmd_run(only):
         print("nothing to do (see --list / --report)")
         return 0
     print(f"{len(todo)} step(s) to run -> {RESULTS}")
+    consecutive_infra = 0
     with open(RESULTS, "a") as f:
         for name, cfg, env, _, extra in todo:
             print(f"== {name} ({cfg or 'probe'}) env={env or '{}'} "
@@ -199,6 +209,22 @@ def cmd_run(only):
                       "re-run when the tunnel is back — completed steps "
                       "are skipped.", flush=True)
                 return 3
+            # bench's fail-fast probe can also die with a SIGABRT from the
+            # axon client AFTER printing the infra-failure record (exit -6,
+            # observed whole-sessions of it in tpu_ab_results_r4a.jsonl);
+            # each such step burns the full 180 s probe. Tunnel outages are
+            # time-correlated, so two in a row means "down", not "flaky":
+            # abort the pass and let the outer retry loop (--retry-forever)
+            # or a manual re-run resume it.
+            if r and "error" in r:
+                consecutive_infra += 1
+                if consecutive_infra >= 2:
+                    print("ABORT: 2 consecutive infra-failure records — "
+                          "backend looks down; re-run when the tunnel is "
+                          "back (completed steps are skipped).", flush=True)
+                    return 3
+            elif r:
+                consecutive_infra = 0
             if rec["exit_code"] == -1 and rec["record"] is None:
                 # Step hit the hard timeout without producing any record.
                 # When the tunnel drops, axon's sitecustomize register()
@@ -255,17 +281,63 @@ def cmd_report():
             print(f"{name:28s} {v:8.1f} {'':>8s} {'':>7s}  {flags}")
 
 
+def _backend_up(timeout_s=240):
+    """Cheap tunnel probe in a throwaway subprocess (the axon client can
+    hang at interpreter BOOT while the tunnel is down, so the probe needs
+    its own process + hard timeout, not an in-process attempt)."""
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(float(jnp.ones((8, 8)).sum()))"],
+            cwd=ROOT, capture_output=True, text=True, timeout=timeout_s,
+        )
+        return p.returncode == 0 and "64.0" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def cmd_retry_loop(only, max_passes=40, sleep_s=120):
+    """Run passes until every step has a real measurement, waiting out
+    tunnel outages between passes (outages observed to last tens of
+    minutes; completed steps are never re-run)."""
+    for i in range(max_passes):
+        done = load_results()
+        todo = [s for s in STEPS
+                if (only in s[0] if only else True)
+                and not step_done(done.get(s[0]), s[1])]
+        if not todo:
+            print("all steps measured.")
+            cmd_report()
+            return 0
+        print(f"[pass {i + 1}] {len(todo)} step(s) remaining; probing "
+              "backend...", flush=True)
+        if not _backend_up():
+            print(f"[pass {i + 1}] backend down; sleeping {sleep_s}s",
+                  flush=True)
+            time.sleep(sleep_s)
+            continue
+        cmd_run(only)
+    print("retry budget exhausted with steps remaining.")
+    return 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None,
                     help="substring filter on step names")
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--report", action="store_true")
+    ap.add_argument("--retry-forever", action="store_true",
+                    help="loop passes (with a backend probe between them) "
+                         "until every step has a real measurement")
     args = ap.parse_args()
     if args.list:
         cmd_list()
     elif args.report:
         cmd_report()
+    elif args.retry_forever:
+        raise SystemExit(cmd_retry_loop(args.only))
     else:
         raise SystemExit(cmd_run(args.only))
 
