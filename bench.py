@@ -306,18 +306,27 @@ def run_config(name, cfg, emit_json, caps_overrides=(), params_overrides=()):
     return record
 
 
-def _probe_backend(timeout_s: float = 180.0):
-    """Fail fast if the accelerator backend is unreachable.
+def _probe_backend(timeout_s: float = 120.0, attempts: int = 3,
+                   backoff_s: float = 45.0):
+    """Fail fast — but not on the FIRST failure — if the backend is gone.
 
     The remote-TPU tunnel can die outright (observed: relay port
     refused for hours); the first dispatch then blocks FOREVER inside
     backend init, recording nothing. A healthy tunnel completes this
     trivial op in seconds (full-pipeline compiles take ~40-60 s, but
     backend init + a scalar reduce is not that), so a generous bound
-    only fires when the backend is genuinely gone."""
+    only fires when the backend is genuinely gone.
+
+    Round 4 lost its official headline to a TRANSIENT outage: one 180 s
+    attempt, no retry, rc-134 at exit (BENCH_r04.json). This probe now
+    mirrors the A/B runner's outer retry loop (commit b724acd): up to
+    ``attempts`` bounded tries with a sleep between, and on final failure
+    it exits via os._exit so the stuck PJRT-init daemon thread cannot
+    abort CPython teardown (the rc-134 source) — the driver sees a clean
+    exit 3 plus the explicit infra-failure record."""
     import threading
 
-    import jax
+    import jax  # noqa: F401 — backend init happens on first dispatch
     import jax.numpy as jnp
 
     ok = []
@@ -325,28 +334,50 @@ def _probe_backend(timeout_s: float = 180.0):
     def work():
         ok.append(float(jnp.ones((8, 8)).sum()))
 
-    t = threading.Thread(target=work, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not ok:
+    for attempt in range(1, attempts + 1):
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if ok:
+            return
         print(
-            f"# FATAL: backend unreachable (trivial dispatch did not "
-            f"complete in {timeout_s:.0f}s — TPU tunnel down?)",
+            f"# WARNING: backend probe attempt {attempt}/{attempts} timed "
+            f"out after {timeout_s:.0f}s (TPU tunnel down?)"
+            + (f"; retrying in {backoff_s:.0f}s" if attempt < attempts
+               else ""),
             file=sys.stderr, flush=True,
         )
-        # Emit an explicit infra-failure record (value 0, error field) so
-        # a recorded-but-zero headline is distinguishable from both a
-        # perf collapse (accuracy fields present, accuracy_ok) and a
-        # silent crash (no record at all).
-        print(json.dumps({
-            "metric": "scan_pairs_registered_per_sec_per_chip",
-            "value": 0.0,
-            "unit": "pairs/s",
-            "vs_baseline": 0.0,
-            "error": "backend unreachable (TPU tunnel down); "
-                     "no measurement taken",
-        }), flush=True)
-        raise SystemExit(3)
+        if attempt < attempts:
+            time.sleep(backoff_s)
+            # A previously-stuck dispatch can complete during the sleep
+            # (tunnel came back) — count that as success.
+            if ok:
+                return
+    print(
+        f"# FATAL: backend unreachable ({attempts} probe attempts of "
+        f"{timeout_s:.0f}s each) — no measurement taken",
+        file=sys.stderr, flush=True,
+    )
+    # Emit an explicit infra-failure record (value 0, error field) so
+    # a recorded-but-zero headline is distinguishable from both a
+    # perf collapse (accuracy fields present, accuracy_ok) and a
+    # silent crash (no record at all).
+    print(json.dumps({
+        "metric": "scan_pairs_registered_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "pairs/s",
+        "vs_baseline": 0.0,
+        "error": "backend unreachable (TPU tunnel down); "
+                 "no measurement taken",
+    }), flush=True)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # NOT SystemExit: interpreter teardown with a thread stuck inside
+    # PJRT C++ init raises through ~thread and aborts (rc 134/-6, seen
+    # in BENCH_r04.json and tpu_ab_results.jsonl base/structured).
+    import os
+
+    os._exit(3)
 
 
 def main():

@@ -51,14 +51,18 @@ _STANDARD_CAPS = Capacities(      # office at the 0.005 curvature default
     max_points=1 << 16,           # (8 bench seeds, measure_content.py):
     max_raw_points=1 << 17,       #   raw<=124k, down<=60.5k, vox<=1019,
     max_voxels=1536,              #   match<=939, hyp<=1236, res<=19.2k,
-    # match/hyp lanes run TIGHT over the bench-seed maxima (the round-3
-    # on-chip A/B measured +9.6% pairs/s, tightcaps/office,
-    # tpu_ab_results_r4a.jsonl, bit-identical accuracy); the tight gate
-    # SHRANK office match/hyp content (~40%), so the same lanes now carry
-    # 2.2x/1.7x headroom. Tight lanes are policy-legal only because
-    # overflow raises a status bit and sweep drivers re-run flagged pairs
-    # at auto_escalation_caps (evaluate.py --escalate-caps auto).
-    max_matches=2048,
+    # match/hyp lanes run TIGHT over the bench-seed maxima (round-3
+    # on-chip A/B: +9.6% pairs/s, tightcaps/office,
+    # tpu_ab_results_r4a.jsonl, bit-identical accuracy). The 0.005
+    # curvature gate then SHRANK office match content to <=939, opening a
+    # further halving: match 2048 -> 1024 measured +16.8% pairs/s
+    # (137.98 vs 118.18, tight/office-match1024 vs same-session
+    # base/office, tpu_ab_results_r4b.jsonl) at identical accuracy.
+    # 1024 = 1.09x over the bench-seed maximum. Tight lanes are
+    # policy-legal only because overflow raises a status bit and sweep
+    # drivers re-run flagged pairs at auto_escalation_caps
+    # (evaluate.py --escalate-caps auto).
+    max_matches=1024,
     max_hypotheses=2048,
     max_reps=256,
     max_clusters=2048,
@@ -114,9 +118,13 @@ _OUTDOOR_CAPS = dataclasses.replace(  # cross-season at the 0.005 gate
 _RESSO_CAPS = Capacities(   # facade family at the 0.005 gate (8 bench
     max_points=73728,       #   seeds, measure_content.py): raw<=73.0k,
     max_raw_points=81920,   #   down<=68.9k, vox<=6639, match<=1132 (TPU
-    max_voxels=9216,        #   f32 face tie-flips can shift counts
-    max_matches=2048,       #   further, so ~2x headroom), hyp<=1273,
-    max_hypotheses=2048,    #   <=6 hits/match, res<=6.9k, fine<=1226,
+    max_voxels=9216,        #   f32 face tie-flips can shift counts),
+    # match/hyp 2048 -> 1536 measured +4.8% pairs/s (67.02 vs 63.94,
+    # tight/resso-lanes1536 vs same-session base/resso,
+    # tpu_ab_results_r4b.jsonl) at identical accuracy; 1.36x/1.21x over
+    # the bench maxima, escalation covers the eval tail as ever.
+    max_matches=1536,       #   hyp<=1273,
+    max_hypotheses=1536,    #   <=6 hits/match, res<=6.9k, fine<=1226,
     max_reps=256,           #   span<=118 cells
     max_clusters=1024,
     max_residual=10240,     # 1.49x over the 6.9k measured max

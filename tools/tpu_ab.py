@@ -21,6 +21,15 @@ Adoption rules (read the report, then edit defaults):
     summation order) additionally need a clean
     ``tools/evaluate.py --configs resso,heritage --seeds 16`` spot-check
     before the default moves.
+
+Results-file contract (for every consumer, present and future): records
+append-only, one JSON object per line; a step may appear multiple times
+(tunnel-failure records are interleaved with their later successful
+retries under the SAME step name) and **the last record per step wins**.
+Records carrying an ``error`` key inside ``record`` are infra failures,
+never measurements. tools/update_perf_table.py and load_results() below
+already follow this; any new consumer must too — aggregating all records
+per step would average in zeros.
 """
 
 from __future__ import annotations
@@ -55,11 +64,14 @@ STEP_TIMEOUT_S = int(os.environ.get("FCCF_TPU_AB_TIMEOUT_S", "1500"))
 #   jump-inkernel never compiled (no 1D gather) -> path deleted
 #   sort-pallas   2x slower than lax.sort     -> kernel deleted
 STEPS = [
-    # ROUND-4b SESSION (post-curvature-gate adoption; the round-4a grid —
-    # guard pricing, gather probe, first tightcaps — is archived in
-    # tpu_ab_results_r4a.jsonl). Fresh per-config baselines under the
-    # 0.005 curvature default + the retuned structured lanes (8192 hyp /
-    # 6144 clusters): this is the re-bench that refreshes the
+    # ROUND-5 SESSION. The round-4b grid is RESOLVED (records archived in
+    # tpu_ab_results_r4b.jsonl):
+    #   tight/office-match1024  won (+16.8%)  -> adopted (match 1024)
+    #   tight/resso-lanes1536   won (+4.8%)   -> adopted (match/hyp 1536)
+    #   tight/cross-hyp2048     lost (-4.5%)  -> cross-season lanes stay
+    #   tight/apartment-hyp2048 noise (+0.9%) -> not adopted
+    # Fresh per-config baselines with the adopted tight lanes shipped as
+    # preset defaults: this is the re-bench that refreshes the
     # PERFORMANCE.md config table via tools/update_perf_table.py.
     ("base/office", "office", {}, None),
     ("base/apartment", "apartment", {}, None),
@@ -68,20 +80,24 @@ STEPS = [
     ("base/structured", "structured", {}, None),
     ("base/resso", "resso", {}, None),
     ("base/heritage", "heritage", {}, None),
-    # Tight-lane probes opened up by the 0.005 gate's content shrink
-    # (match/hyp content fell ~40-50% on the indoor/outdoor families —
-    # measured maxima in models/fccf.py comments). Adoption rule as ever:
-    # >2% pairs/s with accuracy_ok and clean statuses.
-    ("tight/apartment-hyp2048", "apartment", {},
-     "base/apartment", ["--caps-set", "max_hypotheses=2048"]),
-    ("tight/cross-hyp2048", "cross-season", {},
-     "base/cross-season", ["--caps-set", "max_hypotheses=2048"]),
-    ("tight/office-match1024", "office", {},
-     "base/office", ["--caps-set", "max_matches=1024"]),
-    ("tight/resso-lanes1536", "resso", {},
-     "base/resso",
-     ["--caps-set", "max_hypotheses=1536", "--caps-set",
-      "max_matches=1536"]),
+    # Remaining tight-lane probe: office hyp content measured <=1236 at
+    # the 0.005 gate, so 2048 carries 1.66x — probe 1536 (1.24x).
+    # Adoption rule as ever: >2% pairs/s, accuracy_ok, clean statuses.
+    ("tight/office-hyp1536", "office", {},
+     "base/office", ["--caps-set", "max_hypotheses=1536"]),
+    # Single-key sort probes for the building presets (heritage lever,
+    # VERDICT r5 item 3): the combined-key budget scales with leaf —
+    # heritage at leaf 0.2 / face 2.0 packs 7 bits/axis x 2.0 m = 254 m
+    # per axis (voxelize.py:480-486), comfortably over the courtyard's
+    # ~116 m worst span; resso at leaf 0.1 has 127 m vs a ~64 m block
+    # span. If the span fits, wide_extent=0 drops one sort operand from
+    # EVERY fused sort over the 245k/74k-row clouds (sorts ~20 ms of the
+    # 199 ms heritage step). Overflow would raise the voxel status bit
+    # and fail the accuracy gate — the A/B is self-checking.
+    ("tight/heritage-key32", "heritage", {},
+     "base/heritage", ["--caps-set", "wide_extent=0"]),
+    ("tight/resso-key32", "resso", {},
+     "base/resso", ["--caps-set", "wide_extent=0"]),
 ]
 # normalize: optional 5th element = extra bench CLI args
 STEPS = [s if len(s) == 5 else (*s, []) for s in STEPS]
