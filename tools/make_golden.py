@@ -48,8 +48,26 @@ PIPE_CONFIGS = ["office", "apartment", "cross-season", "structured",
 # O(V^2) program; production scale is impractical), 2 seeds per family.
 TWIN_SEEDS = [30, 31]
 
+# Reference-defaults lane (VERDICT r4 item 4): the 0.005 curvature gate is
+# a documented divergence from FCCF.cpp:138's 0.05 (PARITY.md #9),
+# restorable via --set curvature_threshold=0.05 — this lane PINS that the
+# restored behavior keeps working. Small grid: the two fast-suite configs
+# (office = the headline, structured = where the gate change bites).
+REF05_SEEDS = [0, 1, 2]
+REF05_CONFIGS = ["office", "structured"]
+REF05_TWIN_FAMILIES = ["office", "stairs"]
 
-def pipeline_golden():
+
+def params_meta(params):
+    """Full FCCFParams snapshot for fixture metadata: a default change
+    that silently invalidates a fixture becomes a visible test failure
+    (tests/test_golden.py::test_fixture_params_match_defaults)."""
+    import dataclasses
+
+    return dataclasses.asdict(params)
+
+
+def pipeline_golden(configs=PIPE_CONFIGS, seeds=PIPE_SEEDS, params_set=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -64,11 +82,17 @@ def pipeline_golden():
     from fccf_pcr_tpu.models.fccf import get_model
     from fccf_pcr_tpu.pipeline.register import pre_downsample
 
-    out = {"backend": "cpu", "seeds": PIPE_SEEDS, "configs": {}}
-    for name in PIPE_CONFIGS:
+    PIPE_SEEDS = seeds  # noqa: N806 — keep the row-builder below unchanged
+    out = {"backend": "cpu", "seeds": seeds, "configs": {}, "params": {}}
+    if params_set:
+        out["params_set"] = dict(params_set)
+    for name in configs:
         cfg = bench.CONFIGS[name]
         model = get_model(cfg["model"])
         params, caps = model.params, model.caps
+        if params_set:
+            params = params.replace(**params_set)
+        out["params"][name] = params_meta(params)
         fn = make_register_fn(params, caps, batched=True)
         pre = jax.jit(jax.vmap(lambda p, m: pre_downsample(p, m, params, caps)))
         pairs = bench.pairs_for_config(cfg, PIPE_SEEDS)
@@ -106,16 +130,22 @@ def pipeline_golden():
     return out
 
 
-def twin_golden():
+def twin_golden(families=None, seeds=TWIN_SEEDS, params_set=None):
     from fccf_pcr_tpu import registration_errors
     from fccf_pcr_tpu.config import FCCFParams
     from fccf_pcr_tpu.io import synthetic
     from fccf_pcr_tpu.twin import twin
     from tools.anchor_sensitivity import FAMILIES
 
-    params = FCCFParams()
-    out = {"seeds": TWIN_SEEDS, "families": {}}
-    for fam, cfg in FAMILIES.items():
+    params = FCCFParams(**(params_set or {}))
+    out = {"seeds": seeds, "families": {}, "params": params_meta(params)}
+    if params_set:
+        out["params_set"] = dict(params_set)
+    fam_items = [
+        (f, FAMILIES[f]) for f in (families or FAMILIES)
+    ]
+    TWIN_SEEDS = seeds  # noqa: N806
+    for fam, cfg in fam_items:
         rows = []
         for s in TWIN_SEEDS:
             src, tar, T_gt = synthetic.make_pair(seed=s, **cfg["scene"],
@@ -130,12 +160,31 @@ def twin_golden():
     return out
 
 
+def ref05_golden():
+    """The reference-defaults lane fixture: pipeline (2 configs x 3
+    seeds) + twin (2 families x 2 seeds) at curvature_threshold=0.05."""
+    ps = {"curvature_threshold": 0.05}
+    pipe = pipeline_golden(REF05_CONFIGS, REF05_SEEDS, params_set=ps)
+    tw = twin_golden(REF05_TWIN_FAMILIES, TWIN_SEEDS, params_set=ps)
+    return {"pipeline": pipe, "twin": tw}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--twin-only", action="store_true")
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument(
+        "--ref05-only", action="store_true",
+        help="regenerate only the reference-defaults (curvature 0.05) lane",
+    )
     args = ap.parse_args()
     GOLDEN_DIR.mkdir(exist_ok=True)
+    if args.ref05_only:
+        data = ref05_golden()
+        (GOLDEN_DIR / "pipeline_ref05.json").write_text(
+            json.dumps(data, indent=1))
+        print(f"wrote {GOLDEN_DIR / 'pipeline_ref05.json'}")
+        return
     if not args.twin_only:
         data = pipeline_golden()
         (GOLDEN_DIR / "pipeline.json").write_text(json.dumps(data, indent=1))
@@ -144,6 +193,9 @@ def main():
         data = twin_golden()
         (GOLDEN_DIR / "twin.json").write_text(json.dumps(data, indent=1))
         print(f"wrote {GOLDEN_DIR / 'twin.json'}")
+    data = ref05_golden()
+    (GOLDEN_DIR / "pipeline_ref05.json").write_text(json.dumps(data, indent=1))
+    print(f"wrote {GOLDEN_DIR / 'pipeline_ref05.json'}")
 
 
 if __name__ == "__main__":
