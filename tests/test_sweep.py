@@ -332,3 +332,48 @@ def test_sweep_sharded_over_mesh(params, caps, sweep_pairs):
     assert len(records) == 8
     for r in records:
         assert r["rre_deg"] < 1.0
+
+
+def test_sweep_sharded_uneven_final_batch(params, caps, sweep_pairs):
+    """A pair count NOT divisible by the batch (13 over batch 8) pads the
+    final chunk with dummy repeats of the last pair (run_pass, the
+    ``eff`` list). On a mesh the padded batch is what gets sharded across
+    devices — this asserts the padding is invisible: the 13 sharded
+    records equal the 13 unsharded ones per pair, and no dummy row leaks
+    into the output (VERDICT r4 item 8)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    pairs, gt = sweep_pairs
+    pairs13 = (pairs * 5)[:13]
+    gt13 = (gt * 5)[:13]
+    rec_s, sum_s = run_sweep(
+        pairs13, params, caps, batch_size=8, ground_truth=gt13, use_mesh=True
+    )
+    rec_u, sum_u = run_sweep(
+        pairs13, params, caps, batch_size=8, ground_truth=gt13, use_mesh=False
+    )
+    assert sum_s["sharded"] and not sum_u["sharded"]
+    assert sum_s["n_pairs"] == sum_u["n_pairs"] == 13
+    assert len(rec_s) == len(rec_u) == 13
+    for rs, ru in zip(rec_s, rec_u):
+        assert rs["pair"] == ru["pair"]
+        assert rs["status"] == ru["status"]
+        np.testing.assert_allclose(
+            np.asarray(rs["transform"]), np.asarray(ru["transform"]),
+            atol=1e-5, err_msg=f"pair {rs['pair']} transform diverges "
+            "between sharded and unsharded uneven-batch sweeps",
+        )
+        np.testing.assert_allclose(
+            rs["quick_score"], ru["quick_score"], atol=5e-4
+        )
+        # fine occupancy is integer-quantized and these are MINIATURE
+        # clouds (~2k points), so one boundary-cell count step under the
+        # two compilations' different f32 reassociation moves the
+        # normalized score by ~7e-4 (observed) — a wider band than the
+        # production-scale tests' 5e-4, same mechanism (see
+        # test_sharded_equals_unsharded). Transforms still agree at 1e-5.
+        np.testing.assert_allclose(
+            rs["fine_score"], ru["fine_score"], atol=2e-3
+        )

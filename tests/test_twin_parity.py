@@ -43,10 +43,15 @@ def test_transform_parity_small_scene(params, caps):
         f"pipeline off GT: {float(rre_p)} deg {float(rte_p)} m"
     )
 
-    # and agree with each other at transform level
+    # and agree with each other at transform level. Band sized to the
+    # MEASURED envelope (production-density 24-pair diff worst case is
+    # 0.52 deg / 0.125 m, docs/ROADMAP.md; this miniature pair agrees far
+    # tighter) — the old 1.5/0.3 band was 3x the measured envelope, wide
+    # enough for a face-membership regression to hide inside
+    # (VERDICT r4 item 6).
     rre_x, rte_x = registration_errors(
         res.transform, jnp.asarray(T_twin, jnp.float32)
     )
-    assert float(rre_x) < 1.5 and float(rte_x) < 0.3, (
+    assert float(rre_x) < 0.75 and float(rte_x) < 0.15, (
         f"pipeline vs twin: {float(rre_x)} deg {float(rte_x)} m"
     )
