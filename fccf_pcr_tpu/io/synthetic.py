@@ -355,7 +355,7 @@ def random_se3(rng, max_angle_deg=40.0, max_trans=3.0):
 
 
 def make_pair(seed=0, max_angle_deg=40.0, max_trans=3.0, dropout=0.15,
-              scene="room", **scene_kw):
+              scene="room", overlap=1.0, **scene_kw):
     """Build (src_points, tar_points, T_gt) with T_gt mapping src -> tar.
 
     The target cloud is the scene itself; the source cloud is the scene
@@ -363,6 +363,19 @@ def make_pair(seed=0, max_angle_deg=40.0, max_trans=3.0, dropout=0.15,
     dropout + independent noise realization, emulating two scans of the
     same scene from different poses. ``scene`` picks a generator from
     ``SCENES`` (room / stairs / hall).
+
+    ``overlap`` < 1.0 makes the pair a PARTIAL-overlap registration (the
+    regime of the reference's RESSO scenes, BASELINE.md Tables II-III):
+    each scan is windowed to a contiguous slab covering (1+overlap)/2 of
+    the scene's extent along one horizontal axis, from opposite ends, so
+    the shared region is exactly ``overlap`` of the extent. Faces outside
+    the shared slab have no counterpart in the other scan — the 0.8
+    fusion gate and per-type logic must reject their one-sided matches.
+    The windowing axis comes from an rng stream independent of the pose
+    draw, so T_gt for a given seed is IDENTICAL across overlap levels
+    (clean success-vs-overlap curves). Default 1.0 = full overlap,
+    bit-identical to the pre-overlap generator (every calibrated
+    fixture/preset assumes this default).
     """
     make_scene = SCENES[scene]
     rng = np.random.default_rng(seed + 99991)
@@ -371,6 +384,25 @@ def make_pair(seed=0, max_angle_deg=40.0, max_trans=3.0, dropout=0.15,
     keep = rng.uniform(size=src_world.shape[0]) > dropout
     src_world = src_world[keep]
     T_gt = random_se3(rng, max_angle_deg, max_trans)
+    if overlap < 1.0:
+        if not 0.0 < overlap:
+            raise ValueError(f"overlap must be in (0, 1]: {overlap}")
+        # Window AFTER the pose draw (separate rng): same T_gt per seed
+        # at every overlap level.
+        wrng = np.random.default_rng(seed + 424243)
+        axis = int(wrng.integers(2))  # horizontal axes only: x or y
+        lo = min(tar[:, axis].min(), src_world[:, axis].min())
+        hi = max(tar[:, axis].max(), src_world[:, axis].max())
+        cover = (1.0 + overlap) / 2.0 * (hi - lo)
+        # which scan takes which end also varies per seed
+        if int(wrng.integers(2)):
+            tar_keep = tar[:, axis] <= lo + cover
+            src_keep = src_world[:, axis] >= hi - cover
+        else:
+            tar_keep = tar[:, axis] >= hi - cover
+            src_keep = src_world[:, axis] <= lo + cover
+        tar = tar[tar_keep]
+        src_world = src_world[src_keep]
     # src = T_gt^{-1} applied to world coords; then T_gt maps src -> tar.
     R = T_gt[:3, :3]
     t = T_gt[:3, 3]

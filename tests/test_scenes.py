@@ -107,3 +107,48 @@ def test_hall_production_scale_no_hypothesis_overflow():
         )
         rre, rte = registration_errors(res.transform, jnp.asarray(T_gt))
         assert float(rre) < 2.0 and float(rte) < 0.2
+
+
+def test_overlap_default_is_bit_identical():
+    """overlap=1.0 (the default) must reproduce the pre-overlap generator
+    exactly — every calibrated artifact (capacity presets, golden
+    fixtures, bench tables) assumes the full-overlap scenes."""
+    a = synthetic.make_pair(seed=5)
+    b = synthetic.make_pair(seed=5, overlap=1.0)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_overlap_windows_share_expected_fraction():
+    """overlap=f windows each scan to (1+f)/2 of the extent from opposite
+    ends: the shared slab is f of the extent, T_gt is unchanged vs the
+    full-overlap pair of the same seed, and both scans lose points."""
+    src_full, tar_full, T_full = synthetic.make_pair(seed=7)
+    for f in (0.3, 0.5, 0.7):
+        src, tar, T = synthetic.make_pair(seed=7, overlap=f)
+        np.testing.assert_array_equal(T, T_full)  # pose draw untouched
+        assert len(src) < len(src_full) and len(tar) < len(tar_full)
+        # undo the pose to compare windows in world coordinates
+        src_w = src @ T[:3, :3].T + T[:3, 3]
+        full_w = src_full @ T_full[:3, :3].T + T_full[:3, 3]
+        # find the windowed axis: the one whose world span shrank
+        spans_tar = np.ptp(tar_full, axis=0) - np.ptp(tar, axis=0)
+        axis = int(np.argmax(spans_tar))
+        assert spans_tar[axis] > 0.5, "no axis was windowed"
+        lo = min(tar_full[:, axis].min(), full_w[:, axis].min())
+        hi = max(tar_full[:, axis].max(), full_w[:, axis].max())
+        cover = (1.0 + f) / 2.0 * (hi - lo)
+        # each scan's window spans cover; the shared band is f of extent
+        shared_lo = max(tar[:, axis].min(), src_w[:, axis].min())
+        shared_hi = min(tar[:, axis].max(), src_w[:, axis].max())
+        got = (shared_hi - shared_lo) / (hi - lo)
+        assert abs(got - f) < 0.06, (
+            f"overlap {f}: shared fraction {got:.3f} (cover {cover:.1f})"
+        )
+
+
+def test_overlap_out_of_range_raises():
+    with pytest.raises(ValueError):
+        synthetic.make_pair(seed=0, overlap=0.0)
+    with pytest.raises(ValueError):
+        synthetic.make_pair(seed=0, overlap=-0.2)

@@ -205,6 +205,14 @@ def main():
         "the refined pose's by more than FRAC, e.g. 0.05)",
     )
     ap.add_argument(
+        "--pair-set", action="append", default=[], metavar="KEY=VALUE",
+        dest="pair_set",
+        help="override a make_pair kwarg for every config (repeatable; "
+        "floats), e.g. --pair-set overlap=0.5 for the partial-overlap "
+        "regime of the RESSO scenes (success-vs-overlap curves, "
+        "docs/EVALUATION.md)",
+    )
+    ap.add_argument(
         "--dump-seeds", default=None, metavar="FILE",
         help="append one JSON line per config with the per-seed "
         "rre/rte/status rows (tail attribution across variants)",
@@ -230,9 +238,17 @@ def main():
 
         esc = _caps_preset(args.escalate_caps)
 
+    pair_set = {}
+    for ov in args.pair_set:
+        key, _, val = ov.partition("=")
+        pair_set[key] = float(val)
+
     rows = []
     for name in args.configs.split(","):
         cfg = bench.CONFIGS[name]
+        if pair_set:
+            cfg = {**cfg, "pair": {**cfg["pair"], **pair_set}}
+            name = name + "@" + ",".join(args.pair_set)
         batch = args.batch or cfg.get("batch", 8)
         r = evaluate_config(name, cfg, args.seeds, batch,
                             rotation_gate=args.fuse_rotation_gate,
