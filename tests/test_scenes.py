@@ -152,3 +152,18 @@ def test_overlap_out_of_range_raises():
         synthetic.make_pair(seed=0, overlap=0.0)
     with pytest.raises(ValueError):
         synthetic.make_pair(seed=0, overlap=-0.2)
+
+
+def test_partial_overlap_pair_registers(register, caps):
+    """A 50%-overlap pair still registers: the shared slab's faces carry
+    the match while each scan's one-sided faces must lose at fusion
+    (verified at production density by the on-chip overlap sweep,
+    docs/EVALUATION.md; this is the miniature CI pin)."""
+    src, tar, T_gt = synthetic.make_pair(
+        seed=42, points_per_plane=1500, clutter_points=900, overlap=0.5
+    )
+    res = _register_pair(register, caps, src, tar)
+    rre, rte = registration_errors(res.transform, jnp.asarray(T_gt))
+    assert float(rre) < 1.0, f"RRE {float(rre)}"
+    assert float(rte) < 0.3, f"RTE {float(rte)}"
+    assert int(res.status) & STATUS_DEGENERATE == 0

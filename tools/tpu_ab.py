@@ -98,6 +98,15 @@ STEPS = [
      "base/heritage", ["--caps-set", "wide_extent=0"]),
     ("tight/resso-key32", "resso", {},
      "base/resso", ["--caps-set", "wide_extent=0"]),
+    # Accuracy A/Bs as probe steps (full records -> tpu_eval_results.jsonl;
+    # run the session with FCCF_TPU_AB_TIMEOUT_S=3600 — each is several
+    # evaluate_config() sweeps in one process):
+    #   guard_eval:   refine_fine_guard off vs on, structured+heritage x40
+    #                 (VERDICT r4 item 5 — adopt or delete the knob)
+    #   overlap_eval: success-vs-overlap curves {1.0,0.7,0.5,0.3},
+    #                 office+resso x24 (VERDICT r4 item 7)
+    ("eval/guard", None, {}, None, ["tools/ab_guard_eval.py"]),
+    ("eval/overlap", None, {}, None, ["tools/ab_overlap_eval.py"]),
 ]
 # normalize: optional 5th element = extra bench CLI args
 STEPS = [s if len(s) == 5 else (*s, []) for s in STEPS]
