@@ -137,7 +137,13 @@ def auto_escalation_caps(caps: Capacities) -> Capacities:
     """The escalation partner for an ``auto_caps`` result: doubles every
     content-dependent envelope bound (the exact, measured bounds — points,
     raw points, voxels — stay put: the clouds cannot grow). Dominates the
-    input by construction, so it always passes run_sweep's check."""
+    input by construction, so it always passes run_sweep's check.
+
+    ``wide_extent`` escalates to True: a preset running the single-key
+    fused sort (the cheaper path — one sort operand fewer) clips
+    outsized scenes into border cells and flags voxel overflow; the
+    escalation re-run must restore the full two-key extent or the
+    overflow would simply persist at the generous lanes."""
     return caps.replace(
         max_matches=2 * caps.max_matches,
         max_hypotheses=2 * caps.max_hypotheses,
@@ -145,4 +151,5 @@ def auto_escalation_caps(caps: Capacities) -> Capacities:
         max_residual=min(caps.max_points, 2 * caps.max_residual),
         max_fine_voxels=2 * caps.max_fine_voxels,
         per_match_hits=2 * caps.per_match_hits,
+        wide_extent=True,
     )
