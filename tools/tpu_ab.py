@@ -107,6 +107,9 @@ STEPS = [
     #                 office+resso x24 (VERDICT r4 item 7)
     ("eval/guard", None, {}, None, ["tools/ab_guard_eval.py"]),
     ("eval/overlap", None, {}, None, ["tools/ab_overlap_eval.py"]),
+    # Scoped-trace attribution of the heritage faces-stage whiles (the
+    # two 7-9 ms unattributed ones, docs/ROADMAP.md — VERDICT r5 item 3).
+    ("probe/heritage-trace", None, {}, None, ["tools/ab_heritage_trace.py"]),
 ]
 # normalize: optional 5th element = extra bench CLI args
 STEPS = [s if len(s) == 5 else (*s, []) for s in STEPS]
