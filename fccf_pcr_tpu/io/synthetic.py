@@ -384,9 +384,9 @@ def make_pair(seed=0, max_angle_deg=40.0, max_trans=3.0, dropout=0.15,
     keep = rng.uniform(size=src_world.shape[0]) > dropout
     src_world = src_world[keep]
     T_gt = random_se3(rng, max_angle_deg, max_trans)
+    if not 0.0 < overlap <= 1.0:
+        raise ValueError(f"overlap must be in (0, 1]: {overlap}")
     if overlap < 1.0:
-        if not 0.0 < overlap:
-            raise ValueError(f"overlap must be in (0, 1]: {overlap}")
         # Window AFTER the pose draw (separate rng): same T_gt per seed
         # at every overlap level.
         wrng = np.random.default_rng(seed + 424243)

@@ -40,9 +40,11 @@ def main():
             for name in CONFIGS:
                 cfg = bench.CONFIGS[name]
                 t0 = time.time()
+                # both arms pinned explicitly (None would mean "preset
+                # default", which is exactly what this A/B may change)
                 r = evaluate_config(
                     name, cfg, SEEDS, cfg.get("batch", 8),
-                    refine_fine_guard=guard or None,
+                    refine_fine_guard=guard,
                     escalate_caps="auto",
                 )
                 rec = {k: v for k, v in r.items() if k != "seed_rows"}

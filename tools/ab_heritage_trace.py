@@ -38,18 +38,19 @@ def main():
     events = parse_trace.load_events(fn)
     total = sum(e["dur"] for e in events)
     by_op = collections.Counter()
-    long_names = {}
+    by_while = collections.Counter()  # per-op (ungrouped) while durations
+    while_long = {}                   # while op -> its long_name
     for e in events:
         name = e.get("args", {}).get("long_name") or e["name"]
         name = name.split(" ")[0]
         if name.startswith("jit_"):
             total -= e["dur"]
             continue
-        g = re.sub(r"\.\d+$", "", name)
-        by_op[g] += e["dur"]
-        if g.lstrip("%").startswith("while") and g not in long_names:
-            ln = e.get("args", {}).get("long_name", "")
-            long_names.setdefault(name, ln)
+        by_op[re.sub(r"\.\d+$", "", name)] += e["dur"]
+        if name.lstrip("%").startswith("while"):
+            by_while[name] += e["dur"]
+            while_long.setdefault(
+                name, e.get("args", {}).get("long_name", ""))
 
     table = [
         {"op": n, "us_per_step": round(d / STEPS),
@@ -65,23 +66,11 @@ def main():
     print(f"TOTAL {total / STEPS / 1000:.1f} ms/step; top groups:")
     for row in table[:12]:
         print(f"  {row['us_per_step']:>8} us {row['pct']:>6.2f}% {row['op'][:80]}")
-    # while attribution: per-OP (ungrouped) durations for while ops
-    by_while = collections.Counter()
-    for e in events:
-        name = (e.get("args", {}).get("long_name") or e["name"]).split(" ")[0]
-        if name.lstrip("%").startswith("while"):
-            by_while[name] += e["dur"]
     print("WHILE ops >= 1 ms/step (long_name head identifies the loop):")
     for name, d in by_while.most_common(20):
         if d / STEPS < 1000:
             break
-        ln = ""
-        for e in events:
-            nm = (e.get("args", {}).get("long_name") or e["name"]).split(" ")[0]
-            if nm == name:
-                ln = e.get("args", {}).get("long_name", "")
-                break
-        print(f"  {d / STEPS:8.0f} us {name}: {ln[:220]}")
+        print(f"  {d / STEPS:8.0f} us {name}: {while_long.get(name, '')[:220]}")
 
 
 if __name__ == "__main__":

@@ -193,9 +193,13 @@ def main():
         data = twin_golden()
         (GOLDEN_DIR / "twin.json").write_text(json.dumps(data, indent=1))
         print(f"wrote {GOLDEN_DIR / 'twin.json'}")
-    data = ref05_golden()
-    (GOLDEN_DIR / "pipeline_ref05.json").write_text(json.dumps(data, indent=1))
-    print(f"wrote {GOLDEN_DIR / 'pipeline_ref05.json'}")
+    if not (args.twin_only or args.pipeline_only):
+        # the ref05 lane regenerates only on a FULL run (or --ref05-only):
+        # --twin-only / --pipeline-only touch exactly what they name
+        data = ref05_golden()
+        (GOLDEN_DIR / "pipeline_ref05.json").write_text(
+            json.dumps(data, indent=1))
+        print(f"wrote {GOLDEN_DIR / 'pipeline_ref05.json'}")
 
 
 if __name__ == "__main__":

@@ -240,7 +240,8 @@ def cmd_run(only):
             # bench's fail-fast probe can also die with a SIGABRT from the
             # axon client AFTER printing the infra-failure record (exit -6,
             # observed whole-sessions of it in tpu_ab_results_r4a.jsonl);
-            # each such step burns the full 180 s probe. Tunnel outages are
+            # each such step burns the probe's full retry budget (3x120 s
+            # attempts + 2x45 s backoff ~ 450 s since round 5). Tunnel outages are
             # time-correlated, so two in a row means "down", not "flaky":
             # abort the pass and let the outer retry loop (--retry-forever)
             # or a manual re-run resume it.
