@@ -155,7 +155,8 @@ def _coerce_like(cur, key, val, flag):
     raise ValueError(f"{flag} {key}: unsupported field type {type(cur)}")
 
 
-def run_config(name, cfg, emit_json, caps_overrides=(), params_overrides=()):
+def run_config(name, cfg, emit_json, caps_overrides=(), params_overrides=(),
+               batch_override=None):
     import jax
     import jax.numpy as jnp
 
@@ -166,7 +167,7 @@ def run_config(name, cfg, emit_json, caps_overrides=(), params_overrides=()):
     dev = jax.devices()[0]
     print(f"# [{name}] device: {dev}", file=sys.stderr)
 
-    B = cfg.get("batch", 8)  # pairs per batched step
+    B = batch_override or cfg.get("batch", 8)  # pairs per batched step
     model = get_model(cfg["model"])
     params, caps = model.params, model.caps
     for ov in caps_overrides:
@@ -398,18 +399,26 @@ def main():
              "--params-set refine_fine_guard=1) — for on-chip parameter "
              "A/Bs without source edits; the accuracy gate still applies",
     )
+    ap.add_argument(
+        "--batch", type=int, default=None,
+        help="override the config's pairs-per-step (batch-size A/B: e.g. "
+             "heritage ships batch 4 — its while-heavy profile may "
+             "amortize serial trip counts at 8)",
+    )
     args = ap.parse_args()
     _probe_backend()
     if args.config == "all":
         for name, cfg in CONFIGS.items():
             run_config(name, cfg, emit_json=(name == "office"),
                        caps_overrides=args.caps_set,
-                       params_overrides=args.params_set)
+                       params_overrides=args.params_set,
+                       batch_override=args.batch)
     else:
         run_config(args.config, CONFIGS[args.config],
                    emit_json=(args.config == "office"),
                    caps_overrides=args.caps_set,
-                   params_overrides=args.params_set)
+                   params_overrides=args.params_set,
+                   batch_override=args.batch)
 
 
 if __name__ == "__main__":

@@ -98,6 +98,13 @@ STEPS = [
      "base/heritage", ["--caps-set", "wide_extent=0"]),
     ("tight/resso-key32", "resso", {},
      "base/resso", ["--caps-set", "wide_extent=0"]),
+    # Batch-size probe: heritage ships batch 4 (~230k-pt clouds); its
+    # profile is while-heavy (serial trip counts per step), so batch 8
+    # may amortize the loop overhead per pair where office measured flat
+    # (batch 16/32, docs/ROADMAP.md dead-ends). Self-checking via the
+    # same accuracy gate.
+    ("tight/heritage-batch8", "heritage", {},
+     "base/heritage", ["--batch", "8"]),
     # Accuracy A/Bs as probe steps (full records -> tpu_eval_results.jsonl;
     # run the session with FCCF_TPU_AB_TIMEOUT_S=3600 — each is several
     # evaluate_config() sweeps in one process):
