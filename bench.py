@@ -396,7 +396,7 @@ def main():
     ap.add_argument(
         "--params-set", action="append", default=[], metavar="KEY=VALUE",
         help="override an FCCFParams field of the selected preset (e.g. "
-             "--params-set refine_fine_guard=1) — for on-chip parameter "
+             "--params-set curvature_threshold=0.05) — for on-chip parameter "
              "A/Bs without source edits; the accuracy gate still applies",
     )
     ap.add_argument(

@@ -111,26 +111,11 @@ class FCCFParams:
     # documented accuracy divergence from the reference; set 0 to restore
     # reference-faithful fusion).
     fuse_rotation_gate_deg: float = 10.0
-    # Keep the better of the pre-/post-refinement pose by fine score
-    # (False = the reference's order: refine, then fine-verify only the
-    # refined pose, FCCF.cpp:772-776 + :1538). The hall-38 trace
-    # (docs/PARITY.md divergence 8) shows the matched-pair LM can migrate
-    # a candidate out of its fine-score basin — refinement reduced BOTH
-    # the fine score (0.33 -> 0.21) and ground-truth accuracy on that
-    # pair. When True, every fine-verified candidate is scored at both
-    # poses and the higher-fine-score pose proceeds to selection/fusion
-    # (ties keep the refined pose). Costs one extra fine-verify batch.
-    refine_fine_guard: bool = False
-    # Relative fine-score margin the PRE-refinement pose must clear to be
-    # kept by the guard: pick pre iff pre > post * (1 + margin). At the
-    # 0.5 m fine voxel the score cannot discriminate translation deltas
-    # below ~0.2 m, so a zero margin trades LM's millimetre translation
-    # polish away on noise-level score ties — measured on the structured
-    # 40-seed sweep: margin 0 improved RRE (0.457 -> 0.387 mean) but
-    # regressed RTE p95 0.110 -> 0.156 m. A margin keeps only DECISIVE
-    # basin disagreements (hall-38's was 57%). Only read when
-    # refine_fine_guard is True.
-    refine_fine_guard_margin: float = 0.0
+    # A refine_fine_guard{,_margin} knob pair ("keep the better of the
+    # pre-/post-refinement pose by fine score") lived here rounds 3-4 and
+    # was deleted round 5 after its accuracy A/B under the 0.005
+    # curvature gate measured it worse on every metric (docs/PARITY.md
+    # divergence 8; tpu_eval_results.jsonl guard_eval).
 
     def replace(self, **kw) -> "FCCFParams":
         return dataclasses.replace(self, **kw)

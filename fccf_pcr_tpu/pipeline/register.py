@@ -183,28 +183,16 @@ def _register_pair_impl(
         fv = jax.vmap(
             lambda T: fine_verify(T, table, r2_pts, r2_valid, params, caps)
         )
-        if params.refine_fine_guard:
-            # Intentional divergence (default off, FCCFParams docstring):
-            # score each candidate's pre- AND post-refinement pose and
-            # keep the one the fine table prefers; ties keep the refined
-            # pose, the reference's only choice (:772-776).
-            both = jnp.concatenate(
-                [top_T.reshape(3 * K, 4, 4), top_T0.reshape(3 * K, 4, 4)]
-            )
-            fs_both, fa_both = fv(both)
-            post, pre = fs_both[: 3 * K], fs_both[3 * K :]
-            # margin: only a DECISIVE pre-refine win overrides LM's pose
-            # (see FCCFParams.refine_fine_guard_margin — zero-margin flips
-            # on noise-level score ties measurably cost translation polish)
-            margin = 1.0 + params.refine_fine_guard_margin
-            pick_pre = (pre > post * margin).reshape(3, K)
-            top_T = jnp.where(pick_pre[..., None, None], top_T0, top_T)
-            fscore_flat = jnp.where(pick_pre.reshape(-1), pre, post)
-            # the alias flag derives from the STATIC source table alone
-            # (fine.py), so it is pose-independent: either half suffices
-            falias_flat = fa_both[: 3 * K]
-        else:
-            fscore_flat, falias_flat = fv(top_T.reshape(3 * K, 4, 4))
+        # Only the refined pose is fine-verified, the reference's order
+        # (refine, then fine-verify, FCCF.cpp:772-776 + :1538). A
+        # "keep the better of pre/post-refine by fine score" guard was
+        # built, measured, and DELETED round 5: under the 0.005
+        # curvature gate it degraded every accuracy metric on both
+        # measured families (structured RTE p95 0.077->0.153 m, RRE p95
+        # 0.112->0.156 deg; heritage RTE p95 0.121->0.166 m; 40-seed
+        # on-chip A/B, tpu_eval_results.jsonl guard_eval) on top of a
+        # -1.6/-3.7% throughput price — docs/PARITY.md divergence 8.
+        fscore_flat, falias_flat = fv(top_T.reshape(3 * K, 4, 4))
         fscore = jnp.where(top_valid, fscore_flat.reshape(3, K), 0.0)
         fine_aliased = jnp.any(falias_flat.reshape(3, K) & top_valid)
 

@@ -83,51 +83,3 @@ def test_nan_points_are_removed(register, caps):
     assert float(rre) < 0.5 and float(rte) < 0.15
 
 
-def test_refine_fine_guard_dominates(params, caps, register):
-    """refine_fine_guard=True must (a) never lower any candidate's fine
-    score (it is a pointwise max over the pre/post-refinement poses),
-    (b) still recover ground truth, and (c) leave the default-off path
-    untouched — asserted by comparing the off-path result against the
-    module-scoped ``register`` fixture (compiled before this test ran)."""
-    src_p, src_m, tar_p, tar_m, T_gt = _pair(caps, 7)
-    off = make_register_fn(params, caps)(src_p, src_m, tar_p, tar_m)
-    # (c): the freshly-built off-path graph reproduces the fixture's
-    # output exactly for the same pair
-    fix = register(src_p, src_m, tar_p, tar_m)
-    np.testing.assert_array_equal(
-        np.asarray(off.transform), np.asarray(fix.transform)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(off.fine_score), np.asarray(fix.fine_score)
-    )
-    on = make_register_fn(params.replace(refine_fine_guard=True), caps)(
-        src_p, src_m, tar_p, tar_m
-    )
-    f_off = np.asarray(off.fine_score)
-    f_on = np.asarray(on.fine_score)
-    assert np.all(f_on >= f_off - 1e-7), (f_on, f_off)
-    rre, rte = registration_errors(on.transform, jnp.asarray(T_gt))
-    assert float(rre) < 0.5 and float(rte) < 0.15
-
-
-def test_refine_fine_guard_infinite_margin_matches_off(params, caps, register):
-    """With an unreachable margin the guard can never pick a pre-refine
-    pose, so the guarded graph must reproduce the guard-off result
-    bit-exactly — pinning the margin semantics
-    (pick pre iff pre > post * (1 + margin))."""
-    src_p, src_m, tar_p, tar_m, _ = _pair(caps, 7)
-    off = register(src_p, src_m, tar_p, tar_m)
-    on = make_register_fn(
-        params.replace(refine_fine_guard=True,
-                       refine_fine_guard_margin=1e9), caps
-    )(src_p, src_m, tar_p, tar_m)
-    np.testing.assert_array_equal(
-        np.asarray(on.transform), np.asarray(off.transform)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(on.fine_score), np.asarray(off.fine_score)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(on.status), np.asarray(off.status)
-    )
-    assert int(on.status) & STATUS_DEGENERATE == 0

@@ -69,8 +69,8 @@ def test_step_done_logic():
 TEST_PLAN = [
     ["base/office", "office", {}, None, []],
     ["base/structured", "structured", {}, None, []],
-    ["guard/structured", "structured", {}, "base/structured",
-     ["--params-set", "refine_fine_guard=1"]],
+    ["variant/structured", "structured", {}, "base/structured",
+     ["--params-set", "curvature_threshold=0.05"]],
 ]
 
 
@@ -102,7 +102,7 @@ def test_runner_loop_against_fake_bench(tmp_path):
     assert p.returncode == 3, p.stdout + p.stderr
     assert "ABORT" in p.stdout
 
-    # healthy: baseline + guard structured steps (the stderr-prefixed
+    # healthy: baseline + variant structured steps (the stderr-prefixed
     # record format, since config != office)
     p = runner("--only", "structured")
     assert p.returncode == 0, p.stdout + p.stderr
@@ -112,9 +112,9 @@ def test_runner_loop_against_fake_bench(tmp_path):
         recs[r["step"]] = r  # last record wins (abort retry included)
     assert recs["base/structured"]["record"]["value"] == 100.0
     # --params-set args reached the subprocess (one override -> -3)
-    assert recs["guard/structured"]["record"]["value"] == 97.0
-    assert recs["guard/structured"]["args"] == [
-        "--params-set", "refine_fine_guard=1",
+    assert recs["variant/structured"]["record"]["value"] == 97.0
+    assert recs["variant/structured"]["args"] == [
+        "--params-set", "curvature_threshold=0.05",
     ]
     # report shows the delta vs the in-session baseline
     p = runner("--report")

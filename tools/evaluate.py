@@ -18,8 +18,7 @@ import numpy as np
 
 
 def evaluate_config(name, cfg, seeds, batch, rotation_gate=None,
-                    escalate_caps=None, refine_fine_guard=None,
-                    guard_margin=None, params_set=()):
+                    escalate_caps=None, params_set=()):
     import jax
 
     from fccf_pcr_tpu import make_register_fn, registration_errors
@@ -39,11 +38,6 @@ def evaluate_config(name, cfg, seeds, batch, rotation_gate=None,
     params, caps = model.params, model.caps
     if rotation_gate is not None:
         params = params.replace(fuse_rotation_gate_deg=rotation_gate)
-    if refine_fine_guard is not None:
-        params = params.replace(refine_fine_guard=refine_fine_guard)
-    if guard_margin is not None:
-        params = params.replace(refine_fine_guard=True,
-                                refine_fine_guard_margin=guard_margin)
     for ov in params_set:  # generic FCCFParams override, same as bench.py
         key, _, val = ov.partition("=")
         cur = getattr(params, key)  # raises on unknown field
@@ -187,22 +181,10 @@ def main():
         "0 = reference-faithful blind averaging)",
     )
     ap.add_argument(
-        "--refine-fine-guard", action="store_true", default=None,
-        help="set FCCFParams.refine_fine_guard=True (keep the better of "
-        "pre/post-refinement poses by fine score — targets the measured "
-        "hall-38-style refinement regression, docs/PARITY.md div. 8)",
-    )
-    ap.add_argument(
         "--set", action="append", default=[], metavar="KEY=VALUE",
         dest="params_set",
         help="override any FCCFParams field for the sweep (repeatable; "
         "same contract as bench.py --params-set)",
-    )
-    ap.add_argument(
-        "--guard-margin", type=float, default=None, metavar="FRAC",
-        help="enable refine_fine_guard with this relative fine-score "
-        "margin (pick the pre-refine pose only when its fine score beats "
-        "the refined pose's by more than FRAC, e.g. 0.05)",
     )
     ap.add_argument(
         "--pair-set", action="append", default=[], metavar="KEY=VALUE",
@@ -253,8 +235,6 @@ def main():
         r = evaluate_config(name, cfg, args.seeds, batch,
                             rotation_gate=args.fuse_rotation_gate,
                             escalate_caps=esc,
-                            refine_fine_guard=args.refine_fine_guard,
-                            guard_margin=args.guard_margin,
                             params_set=args.params_set)
         if args.dump_seeds:
             import json
@@ -262,9 +242,6 @@ def main():
             with open(args.dump_seeds, "a") as f:
                 f.write(json.dumps({
                     "config": name,
-                    "guard": bool(args.refine_fine_guard
-                                  or args.guard_margin is not None),
-                    "guard_margin": args.guard_margin,
                     "params_set": args.params_set,
                     "seed_rows": r["seed_rows"],
                 }) + "\n")

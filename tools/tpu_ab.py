@@ -64,59 +64,28 @@ STEP_TIMEOUT_S = int(os.environ.get("FCCF_TPU_AB_TIMEOUT_S", "1500"))
 #   jump-inkernel never compiled (no 1D gather) -> path deleted
 #   sort-pallas   2x slower than lax.sort     -> kernel deleted
 STEPS = [
-    # ROUND-5 SESSION. The round-4b grid is RESOLVED (records archived in
-    # tpu_ab_results_r4b.jsonl):
-    #   tight/office-match1024  won (+16.8%)  -> adopted (match 1024)
-    #   tight/resso-lanes1536   won (+4.8%)   -> adopted (match/hyp 1536)
-    #   tight/cross-hyp2048     lost (-4.5%)  -> cross-season lanes stay
-    #   tight/apartment-hyp2048 noise (+0.9%) -> not adopted
-    # Fresh per-config baselines with the adopted tight lanes shipped as
-    # preset defaults: this is the re-bench that refreshes the
-    # PERFORMANCE.md config table via tools/update_perf_table.py.
-    ("base/office", "office", {}, None),
-    ("base/apartment", "apartment", {}, None),
-    ("base/cross-season", "cross-season", {}, None),
-    ("base/sweep", "sweep", {}, None),
-    ("base/structured", "structured", {}, None),
-    ("base/resso", "resso", {}, None),
-    ("base/heritage", "heritage", {}, None),
-    # Remaining tight-lane probe: office hyp content measured <=1236 at
-    # the 0.005 gate, so 2048 carries 1.66x — probe 1536 (1.24x).
-    # Adoption rule as ever: >2% pairs/s, accuracy_ok, clean statuses.
-    ("tight/office-hyp1536", "office", {},
-     "base/office", ["--caps-set", "max_hypotheses=1536"]),
-    # Single-key sort probes for the building presets (heritage lever,
-    # VERDICT r5 item 3): the combined-key budget scales with leaf —
-    # heritage at leaf 0.2 / face 2.0 packs 7 bits/axis x 2.0 m = 254 m
-    # per axis (voxelize.py:480-486), comfortably over the courtyard's
-    # ~116 m worst span; resso at leaf 0.1 has 127 m vs a ~64 m block
-    # span. If the span fits, wide_extent=0 drops one sort operand from
-    # EVERY fused sort over the 245k/74k-row clouds (sorts ~20 ms of the
-    # 199 ms heritage step). Overflow would raise the voxel status bit
-    # and fail the accuracy gate — the A/B is self-checking.
-    ("tight/heritage-key32", "heritage", {},
-     "base/heritage", ["--caps-set", "wide_extent=0"]),
-    ("tight/resso-key32", "resso", {},
-     "base/resso", ["--caps-set", "wide_extent=0"]),
-    # Batch-size probe: heritage ships batch 4 (~230k-pt clouds); its
-    # profile is while-heavy (serial trip counts per step), so batch 8
-    # may amortize the loop overhead per pair where office measured flat
-    # (batch 16/32, docs/ROADMAP.md dead-ends). Self-checking via the
-    # same accuracy gate.
-    ("tight/heritage-batch8", "heritage", {},
-     "base/heritage", ["--batch", "8"]),
-    # Accuracy A/Bs as probe steps (full records -> tpu_eval_results.jsonl;
-    # run the session with FCCF_TPU_AB_TIMEOUT_S=3600 — each is several
-    # evaluate_config() sweeps in one process):
-    #   guard_eval:   refine_fine_guard off vs on, structured+heritage x40
-    #                 (VERDICT r4 item 5 — adopt or delete the knob)
-    #   overlap_eval: success-vs-overlap curves {1.0,0.7,0.5,0.3},
-    #                 office+resso x24 (VERDICT r4 item 7)
-    ("eval/guard", None, {}, None, ["tools/ab_guard_eval.py"]),
-    ("eval/overlap", None, {}, None, ["tools/ab_overlap_eval.py"]),
-    # Scoped-trace attribution of the heritage faces-stage whiles (the
-    # two 7-9 ms unattributed ones, docs/ROADMAP.md — VERDICT r5 item 3).
-    ("probe/heritage-trace", None, {}, None, ["tools/ab_heritage_trace.py"]),
+    # ROUND-5 POST-SESSION PLAN. The staged round-5 grid is RESOLVED
+    # (records in tpu_ab_results.jsonl, commit 5852ddc):
+    #   base/*  fresh tight-lane baselines: office 138.2, apartment 88.1,
+    #           cross-season 115.3, sweep 143.6, structured 61.2,
+    #           resso 66.9, heritage 31.8 pairs/s — all accuracy_ok
+    #   tight/office-hyp1536       +1.3% (noise)  -> not adopted
+    #   tight/{heritage,resso}-key32  flat        -> wide_extent stays 1
+    #   tight/heritage-batch8      +4.9%          -> paired confirm below
+    #   eval/guard    guard worse on EVERY metric -> knob DELETED
+    #   eval/overlap  success-vs-overlap curves   -> docs/EVALUATION.md
+    #   probe/heritage-trace  whiles attributed: the pass-1 growth
+    #           convergence loops (src+tar), 9.1+5.8 ms/step
+    # Paired same-window batch A/B for the heritage preset: the staged
+    # batch-8 probe beat a baseline measured hours earlier through a
+    # drifting tunnel (STALE-BASE); adoption wants adjacent arms. Batch
+    # 16 rides along (untried; office measured flat at 16/32 but
+    # heritage's profile is while-heavy, which batch amortizes).
+    ("pair/heritage-b4", "heritage", {}, None),
+    ("pair/heritage-b8", "heritage", {},
+     "pair/heritage-b4", ["--batch", "8"]),
+    ("pair/heritage-b16", "heritage", {},
+     "pair/heritage-b4", ["--batch", "16"]),
 ]
 # normalize: optional 5th element = extra bench CLI args
 STEPS = [s if len(s) == 5 else (*s, []) for s in STEPS]
