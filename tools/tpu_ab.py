@@ -86,6 +86,35 @@ STEPS = [
      "pair/heritage-b4", ["--batch", "8"]),
     ("pair/heritage-b16", "heritage", {},
      "pair/heritage-b4", ["--batch", "16"]),
+    # Sweep-schedule probes against the trace attribution: the pass-1
+    # convergence whiles cost ~2.5 ms/iteration of NON-kernel overhead
+    # (jump gathers + state round-trips of the carried (V,16) stats),
+    # and the measured call counts are 2-3 at sweeps_per_call=2. More
+    # Gauss-Seidel sweeps per pallas_call trade cheap sequential-grid
+    # sweep passes for whole while iterations. s4j0 lost round 3
+    # (-2.0/-6.7%) but that change ALSO dropped the jump; s3/s4 with
+    # J=1 are untested. Schedule invariance is exact (any schedule
+    # reaches the same fixpoint — tests/test_pallas_label_prop.py), so
+    # the accuracy gate is a pure sanity check here.
+    ("pair/heritage-s3", "heritage", {"FCCF_SWEEPS_PER_CALL": "3"},
+     "pair/heritage-b4"),
+    ("pair/heritage-s4", "heritage", {"FCCF_SWEEPS_PER_CALL": "4"},
+     "pair/heritage-b4"),
+    # Batch probes for the remaining presets: the heritage +4.9% came
+    # from amortizing serial while trip counts across a wider vmap;
+    # apartment (250k-pt, batch 8) and the two ~60-75k building/indoor
+    # presets (batch 8) have the same loop structure. Office measured
+    # flat at 16/32 round 3 (dead end, do not re-probe); sweep's steps
+    # are its sequence chunks. Paired within-session baselines.
+    ("pair/apartment-b8", "apartment", {}, None),
+    ("pair/apartment-b16", "apartment", {},
+     "pair/apartment-b8", ["--batch", "16"]),
+    ("pair/structured-b8", "structured", {}, None),
+    ("pair/structured-b16", "structured", {},
+     "pair/structured-b8", ["--batch", "16"]),
+    ("pair/resso-b8", "resso", {}, None),
+    ("pair/resso-b16", "resso", {},
+     "pair/resso-b8", ["--batch", "16"]),
 ]
 # normalize: optional 5th element = extra bench CLI args
 STEPS = [s if len(s) == 5 else (*s, []) for s in STEPS]
