@@ -74,7 +74,12 @@ CONFIGS = {
         scene=dict(scene="courtyard", density=14.0, clutter_points=8000,
                    noise=0.015),
         pair=dict(max_angle_deg=40.0, max_trans=8.0, dropout=0.25),
-        batch=4,  # ~230k-point clouds: half the batch, same steady math
+        # ~230k-point clouds. Batch 8 adopted round 5: the paired
+        # same-window A/B measured 33.5 vs 31.8 pairs/s (+5.5%,
+        # pair/heritage-b8, reproducing the staged probe's +4.9%) —
+        # the wider vmap amortizes the serial while trip counts; 16
+        # overshoots (-2.2%) and the other presets measured flat at 16.
+        batch=8,
     ),
 }
 
@@ -401,9 +406,10 @@ def main():
     )
     ap.add_argument(
         "--batch", type=int, default=None,
-        help="override the config's pairs-per-step (batch-size A/B: e.g. "
-             "heritage ships batch 4 — its while-heavy profile may "
-             "amortize serial trip counts at 8)",
+        help="override the config's pairs-per-step (batch-size A/B; the "
+             "round-5 grid measured heritage's while-heavy profile "
+             "+5.5% at 8 — now its default — and every preset flat or "
+             "worse at 16)",
     )
     args = ap.parse_args()
     _probe_backend()
